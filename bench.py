@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Headline benchmark: DQ-VAE encode throughput (images/sec/chip).
+
+Runs the flagship stage-1 path — patch entropy + dual-grain encoder +
+fused Pallas VQ (full 256x256 ImageNet geometry: ch=128, mult [1,1,2,2,4],
+z=256, codebook 1024x256) — on the local accelerator and prints ONE JSON
+line.
+
+`vs_baseline` compares against an A100 reference estimate for the PyTorch
+encoder forward (fp32, batch 30, 256^2): the reference publishes no
+throughput number (BASELINE.json `published: {}`), so we use
+A100_ENCODE_IPS_EST = 180 img/s — a standard VQGAN-encoder-forward estimate
+— and the driver target is >= 5x that (BASELINE.md). vs_baseline is therefore
+measured_ips / (5 * 180).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+A100_ENCODE_IPS_EST = 180.0
+TARGET_MULTIPLE = 5.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _dual_config
+    from dynamicvectorquantization_tpu.models.dqvae import DualGrainVQModel
+
+    batch = int(os.environ.get("DQVQ_BENCH_BATCH", "32"))
+    iters = int(os.environ.get("DQVQ_BENCH_ITERS", "10"))
+
+    model = DualGrainVQModel(**_dual_config(256, ch=128, z_ch=256, codebook=1024))
+    variables = model.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1), (batch, 256, 256, 3), minval=-1, maxval=1
+    )
+
+    @jax.jit
+    def encode(variables, x, carry):
+        # carry chains iterations: perturbs the input per step and forces a
+        # data dependency so the remote execution layer cannot dedupe or
+        # overlap identical dispatches.
+        quant, emb_loss, info, grains, gate, ent = model.net.apply(
+            variables, x + carry * 1e-8, train=False, method="encode"
+        )
+        new_carry = jnp.float32(jnp.sum(info[2]) % 997) / 997.0
+        return info[2], grains, new_carry
+
+    carry = jnp.float32(0.0)
+    # warmup / compile
+    _, _, carry = encode(variables, x, carry)
+    jax.block_until_ready(carry)
+    _, _, carry = encode(variables, x, carry)
+    jax.block_until_ready(carry)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _, _, carry = encode(variables, x, carry)
+    jax.block_until_ready(carry)
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "dqvae_encode_images_per_sec_per_chip",
+                "value": round(ips, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / (TARGET_MULTIPLE * A100_ENCODE_IPS_EST), 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,19 @@ import jax.numpy as jnp
 
 
 def _load_threshold(json_path: str, fine_ratio: float) -> float:
+    import os
+
+    if not os.path.exists(json_path):
+        # reference configs point at scripts/tools/thresholds/<name>.json;
+        # fall back to the percentile tables shipped in assets/thresholds
+        bundled = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "assets",
+            "thresholds",
+            os.path.basename(json_path),
+        )
+        if os.path.exists(bundled):
+            json_path = bundled
     with open(json_path, "r", encoding="utf-8") as f:
         content = json.load(f)
     return float(content[str(int(100 - fine_ratio * 100))])

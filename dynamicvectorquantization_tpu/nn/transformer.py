@@ -1,0 +1,174 @@
+"""GPT blocks with full-sequence training and single-token KV-cache decode.
+
+Train path mirrors the reference's minGPT-style blocks
+(`modules/dynamic_modules/stackgpt.py:17-96`): pre-LN, causal self-attention
+with attn/resid dropout, GELU MLP (4x). The decode path adds what the
+reference never wired up (`stackgpt.py` samplers recompute the full prefix
+every token — SURVEY.md §7.1.6): a KV cache, so sampling is O(T) attention
+per token instead of O(T^2) full-prefix recompute.
+
+Cache layout: per transformer a single stacked array pair
+(k, v): (num_layers, B, num_heads, T_max, head_dim) — one dynamic_update_slice
+per layer per step.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .init import normal_init
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # (L, B, H, T_max, hd)
+    v: jnp.ndarray
+
+    @classmethod
+    def create(cls, num_layers, batch, num_heads, max_len, head_dim, dtype=jnp.float32):
+        shape = (num_layers, batch, num_heads, max_len, head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+class CausalSelfAttention(nn.Module):
+    n_embd: int
+    n_head: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        deterministic: bool = True,
+        cache: Optional[tuple] = None,  # (k_layer, v_layer) (B, H, T_max, hd)
+        cache_index: Optional[jnp.ndarray] = None,  # scalar int
+        attn_bias: Optional[jnp.ndarray] = None,  # (B, 1, T, T) additive
+    ):
+        b, t, c = x.shape
+        hd = c // self.n_head
+        dense = lambda name: nn.Dense(c, kernel_init=normal_init(0.02), name=name)
+
+        def heads(z):
+            return z.reshape(b, t, self.n_head, hd).transpose(0, 2, 1, 3)
+
+        q = heads(dense("query")(x))
+        k = heads(dense("key")(x))
+        v = heads(dense("value")(x))
+
+        new_cache = None
+        if cache is not None:
+            k_cache, v_cache = cache
+            # write this step's k/v at cache_index (decode: t == 1)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k, (0, 0, cache_index, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v, (0, 0, cache_index, 0)
+            )
+            new_cache = (k_cache, v_cache)
+            t_max = k_cache.shape[2]
+            att = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache) / jnp.sqrt(hd).astype(x.dtype)
+            key_pos = jnp.arange(t_max)
+            valid = key_pos[None, None, None, :] <= cache_index
+            att = jnp.where(valid, att, jnp.finfo(att.dtype).min)
+            att = jax.nn.softmax(att, axis=-1)
+            y = jnp.einsum("bhqk,bhkd->bhqd", att, v_cache)
+        else:
+            att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
+            causal = jnp.tril(jnp.ones((t, t), bool))
+            att = jnp.where(causal[None, None], att, jnp.finfo(att.dtype).min)
+            if attn_bias is not None:
+                att = att + attn_bias
+            att = jax.nn.softmax(att, axis=-1)
+            att = nn.Dropout(self.attn_pdrop)(att, deterministic=deterministic)
+            y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+
+        y = y.transpose(0, 2, 1, 3).reshape(b, t, c)
+        y = dense("proj")(y)
+        y = nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
+        return y, new_cache
+
+
+class Block(nn.Module):
+    n_embd: int
+    n_head: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        deterministic: bool = True,
+        cache=None,
+        cache_index=None,
+        attn_bias=None,
+    ):
+        attn_out, new_cache = CausalSelfAttention(
+            self.n_embd,
+            self.n_head,
+            self.attn_pdrop,
+            self.resid_pdrop,
+            name="attn",
+        )(
+            nn.LayerNorm(name="ln1")(x),
+            deterministic=deterministic,
+            cache=cache,
+            cache_index=cache_index,
+            attn_bias=attn_bias,
+        )
+        x = x + attn_out
+        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.Dense(4 * self.n_embd, kernel_init=normal_init(0.02), name="mlp_fc")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(self.n_embd, kernel_init=normal_init(0.02), name="mlp_proj")(h)
+        h = nn.Dropout(self.resid_pdrop)(h, deterministic=deterministic)
+        return x + h, new_cache
+
+
+class TransformerStack(nn.Module):
+    """N blocks; full-sequence or cached single-step."""
+
+    num_layers: int
+    n_embd: int
+    n_head: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        deterministic: bool = True,
+        cache: Optional[KVCache] = None,
+        cache_index=None,
+        attn_bias=None,
+    ):
+        new_k, new_v = [], []
+        for i in range(self.num_layers):
+            layer_cache = None
+            if cache is not None:
+                layer_cache = (cache.k[i], cache.v[i])
+            x, updated = Block(
+                self.n_embd,
+                self.n_head,
+                self.attn_pdrop,
+                self.resid_pdrop,
+                name=f"h_{i}",
+            )(
+                x,
+                deterministic=deterministic,
+                cache=layer_cache,
+                cache_index=cache_index,
+                attn_bias=attn_bias,
+            )
+            if updated is not None:
+                new_k.append(updated[0])
+                new_v.append(updated[1])
+        new_cache = None
+        if cache is not None:
+            new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v))
+        return x, new_cache

@@ -120,6 +120,9 @@ class VectorQuantizeEMA(nn.Module):
     def _ema_update(self, vectors, embed_sum, cluster_size):
         k, d = self.codebook_size, self.codebook_dim
         decay = self.decay
+        vectors = jax.lax.stop_gradient(vectors)
+        embed_sum = jax.lax.stop_gradient(embed_sum)
+        cluster_size = jax.lax.stop_gradient(cluster_size)
 
         cluster_ema = self.cluster_size_ema.value * decay + cluster_size * (1 - decay)
         embed_ema = self.embed_ema.value * decay + embed_sum * (1 - decay)

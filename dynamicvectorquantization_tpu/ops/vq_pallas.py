@@ -24,9 +24,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Rows of x processed per grid step. 512 rows x 256 dims (f32) = 512KB x-tile;
-# a 1024x256 codebook is 1MB — everything fits VMEM comfortably.
-_TILE_N = 512
+# Rows of x processed per grid step. 256 rows keeps the tile + (TN, K) scores
+# + one-hot + f32-precision matmul scratch + the (K, D) EMA accumulators
+# within the ~16MB VMEM scoped limit (512 rows overflowed by 216KB at
+# Precision.HIGHEST on v5e).
+_TILE_N = 256
 
 
 def _round_up(x: int, m: int) -> int:
@@ -140,9 +142,13 @@ def _pallas_nearest(x: jnp.ndarray, codebook: jnp.ndarray, with_stats: bool):
 
 
 def nearest_codes_xla(x: jnp.ndarray, codebook: jnp.ndarray):
-    """Pure-XLA nearest-code path (CPU tests, non-TPU backends, cross-check)."""
-    scores = jnp.sum(codebook * codebook, axis=1)[None, :] - 2.0 * (
-        x @ codebook.T
+    """Pure-XLA nearest-code path (CPU tests, non-TPU backends, cross-check).
+
+    Precision.HIGHEST matters on TPU: the default bf16 MXU matmul misranks
+    ~1% of nearest-code assignments (measured 8/1024 vs float64 exact); the
+    Pallas kernel and this fallback both compute distances in f32."""
+    scores = jnp.sum(codebook * codebook, axis=1)[None, :] - 2.0 * jnp.dot(
+        x, codebook.T, precision=jax.lax.Precision.HIGHEST
     )
     idx = jnp.argmin(scores, axis=1).astype(jnp.int32)
     return idx, jnp.take(codebook, idx, axis=0)

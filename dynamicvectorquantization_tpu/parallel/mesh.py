@@ -1,0 +1,49 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is data-parallel DDP with manual NCCL
+collectives inside the EMA codebook (`SURVEY.md` §2.10;
+`modules/vector_quantization/quantize2_mask.py:86-100`). The TPU-native
+equivalent is one jitted SPMD program over a `jax.sharding.Mesh`:
+
+  * batch sharded over the "dp" axis, parameters/EMA state replicated;
+  * gradient sums, the EMA one-hot reductions, and the restart candidate
+    pool become *global by construction* — XLA inserts psum/all-gather over
+    ICI, replacing the reference's `dist.all_reduce` x2 + rank-0 broadcast;
+  * restart randomness uses a replicated PRNG key, so every device computes
+    identical restarts deterministically.
+
+Multi-host pods: the same program with a mesh spanning hosts (DCN axis);
+optimizer-state sharding (the reference's `ddp_sharded` analog) = adding a
+"fsdp" axis to these specs.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "dp") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis_name: str = "dp"):
+    """Place a (global) batch pytree with the leading axis sharded over dp."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,283 @@
+"""Epoch training loop: the Lightning-Trainer replacement.
+
+Covers the reference runtime surface (SURVEY.md §2.1, §5): per-step jitted
+train step over a data-parallel mesh, periodic metric logging (reference
+metric names), PNG image grids every `image_log_frequency` batches
+(`utils/logger.py:57-147`; `train.py:214-222` sets 50), validation each epoch,
+orbax checkpointing (monitor-based top-k + last, `train.py:152-185`) with
+auto-resume from the latest step.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import device_prefetch
+from ..parallel.mesh import make_mesh, batch_sharding, replicated
+from ..utils.logging import ImageLogger, MetricLogger
+from ..utils import viz
+from .stage1 import Stage1Trainer
+from .stage2 import Stage2Trainer
+
+
+def _is_stage2(model) -> bool:
+    return hasattr(model, "transformer") and hasattr(model, "first_stage_model")
+
+
+class Trainer:
+    def __init__(
+        self,
+        logdir: str,
+        max_epochs: int = 1,
+        seed: int = 23,
+        log_every: int = 50,
+        image_log_frequency: int = 50,
+        save_top_k: int = 3,
+        mesh=None,
+        max_steps_per_epoch: Optional[int] = None,
+        resume: bool = True,
+    ):
+        self.logdir = logdir
+        self.max_epochs = max_epochs
+        self.seed = seed
+        self.log_every = log_every
+        self.save_top_k = save_top_k
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.max_steps_per_epoch = max_steps_per_epoch
+        self.resume = resume
+        os.makedirs(logdir, exist_ok=True)
+        self.metrics = MetricLogger(logdir)
+        self.images = ImageLogger(logdir, batch_frequency=image_log_frequency)
+
+    # -------------------------------------------------------------- ckpt io
+    def _ckpt_manager(self, monitor: Optional[str]):
+        import orbax.checkpoint as ocp
+
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=self.save_top_k,
+            best_fn=(lambda m: m.get(monitor, 0.0)) if monitor else None,
+            best_mode="min" if monitor else "max",
+            create=True,
+        )
+        return ocp.CheckpointManager(
+            os.path.abspath(os.path.join(self.logdir, "checkpoints")), options=options
+        )
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, model, data):
+        train_loader = data.train_dataloader(seed=self.seed)
+        steps_per_epoch = len(train_loader)
+        if self.max_steps_per_epoch:
+            steps_per_epoch = min(steps_per_epoch, self.max_steps_per_epoch)
+        # reference train.py:243-245
+        model.steps_per_epoch = steps_per_epoch
+        model.training_steps = steps_per_epoch * self.max_epochs
+
+        warmup_steps = int(steps_per_epoch * (model.warmup_epochs or 0))
+        if _is_stage2(model):
+            return self._fit_stage2(model, data, train_loader, warmup_steps)
+        return self._fit_stage1(model, data, train_loader, warmup_steps)
+
+    # --------------------------------------------------------------- stage 1
+    def _fit_stage1(self, model, data, train_loader, warmup_steps):
+        trainer = Stage1Trainer(
+            model,
+            learning_rate=model.learning_rate,
+            min_learning_rate=model.min_learning_rate,
+            warmup_steps=warmup_steps,
+            max_steps=model.training_steps,
+        )
+        sample = next(iter(train_loader.epoch(0)))
+        x0 = model.get_input(sample, model.image_key)
+        state = trainer.init_state(jax.random.PRNGKey(self.seed), x0[:1])
+
+        mngr = self._ckpt_manager(model.monitor)
+        if self.resume and mngr.latest_step() is not None:
+            import orbax.checkpoint as ocp
+
+            state = mngr.restore(
+                mngr.latest_step(), args=ocp.args.StandardRestore(state)
+            )
+            print(f"Resumed from checkpoint step {mngr.latest_step()}")
+
+        b_sh = batch_sharding(self.mesh)
+        step_fn = jax.jit(trainer.train_step, in_shardings=(None, b_sh, None),
+                          donate_argnums=(0,))
+        eval_fn = jax.jit(trainer.eval_step, in_shardings=(None, b_sh))
+        forward_fn = jax.jit(
+            lambda st, x: model.net.apply({"params": st.ae_params, "ema": st.ema}, x)
+        )
+
+        rng = jax.random.PRNGKey(self.seed + 1)
+        start_epoch = int(state.epoch)
+        for epoch in range(start_epoch, self.max_epochs):
+            t0 = time.time()
+            for bi, batch in enumerate(
+                device_prefetch(train_loader.epoch(epoch), b_sh)
+            ):
+                if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
+                    break
+                x = model.get_input(batch, model.image_key)
+                rng, sub = jax.random.split(rng)
+                state, logs = step_fn(state, x, sub)
+                gs = int(state.step)
+                if bi % self.log_every == 0:
+                    logs_np = {k: float(v) for k, v in logs.items()}
+                    logs_np["images_per_sec"] = x.shape[0] * (bi + 1) / (
+                        time.time() - t0
+                    )
+                    self.metrics.log(gs, logs_np, "train")
+                if self.images.should_log(bi):
+                    self._log_stage1_images(model, forward_fn, state, x, "train",
+                                            gs, epoch, bi)
+            state = state._replace(epoch=state.epoch + 1)
+
+            val_metrics = self._validate_stage1(model, data, eval_fn, state)
+            self.metrics.log(int(state.step), val_metrics, "val")
+            import orbax.checkpoint as ocp
+
+            mngr.save(
+                int(state.step),
+                args=ocp.args.StandardSave(state),
+                metrics={k: float(v) for k, v in val_metrics.items()},
+            )
+            mngr.wait_until_finished()
+            print(
+                f"epoch {epoch}: " +
+                " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items())
+            )
+        return state
+
+    def _validate_stage1(self, model, data, eval_fn, state):
+        val_loader = data.val_dataloader(seed=self.seed)
+        b_sh = batch_sharding(self.mesh)
+        acc, n = {}, 0
+        for bi, batch in enumerate(device_prefetch(val_loader.epoch(0), b_sh)):
+            if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
+                break
+            x = model.get_input(batch, model.image_key)
+            logs = eval_fn(state, x)
+            for k, v in logs.items():
+                acc[k] = acc.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in acc.items()}
+
+    def _log_stage1_images(self, model, forward_fn, state, x, split, gs, epoch, bi):
+        xrec, _, grains, _, x_entropy = forward_fn(state, x)
+        imgs = {
+            "inputs": np.asarray(x[:4]),
+            "reconstructions": np.asarray(xrec[:4]),
+            "grain_map": viz.draw_grain_map_color(
+                np.asarray(x[:4]), np.asarray(grains[:4])
+            ),
+        }
+        if x_entropy is not None:
+            e = np.asarray(x_entropy[:4])
+            e = (e - e.min()) / max(e.max() - e.min(), 1e-5)
+            imgs["entropy_map"] = viz.draw_grain_map_color(np.asarray(x[:4]), e)
+        self.images.log(imgs, split, gs, epoch, bi)
+
+    # --------------------------------------------------------------- stage 2
+    def _fit_stage2(self, model, data, train_loader, warmup_steps):
+        trainer = Stage2Trainer(
+            model,
+            learning_rate=model.learning_rate,
+            min_learning_rate=model.min_learning_rate,
+            warmup_steps=warmup_steps,
+            max_steps=model.training_steps,
+        )
+        # first stage weights from its config ckpt_path (reference embeds the
+        # stage-1 ckpt under first_stage_config.params.ckpt_path)
+        fs_model = model.first_stage_model
+        if fs_model.ckpt_path and os.path.exists(str(fs_model.ckpt_path)):
+            fs_vars = _load_first_stage(fs_model)
+        else:
+            fs_vars = fs_model.init(jax.random.PRNGKey(self.seed + 5))
+        variables = model.init(jax.random.PRNGKey(self.seed), fs_vars)
+        state = trainer.init_state(variables)
+
+        mngr = self._ckpt_manager(model.monitor)
+        if self.resume and mngr.latest_step() is not None:
+            import orbax.checkpoint as ocp
+
+            state = mngr.restore(
+                mngr.latest_step(), args=ocp.args.StandardRestore(state)
+            )
+            print(f"Resumed from checkpoint step {mngr.latest_step()}")
+
+        b_sh = batch_sharding(self.mesh)
+        step_fn = jax.jit(trainer.train_step,
+                          in_shardings=(None, None, b_sh, b_sh, None),
+                          donate_argnums=(0,))
+        eval_fn = jax.jit(trainer.eval_step, in_shardings=(None, None, b_sh, b_sh))
+
+        rng = jax.random.PRNGKey(self.seed + 1)
+        start_epoch = int(state.epoch)
+        for epoch in range(start_epoch, self.max_epochs):
+            for bi, batch in enumerate(
+                device_prefetch(train_loader.epoch(epoch), b_sh)
+            ):
+                if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
+                    break
+                x = model.first_stage_model.get_input(batch, model.first_stage_key)
+                if model.cond_stage_key == "class_label":
+                    c = jnp.asarray(batch["class_label"])
+                else:
+                    c = x
+                rng, sub = jax.random.split(rng)
+                state, logs = step_fn(state, variables, x, c, sub)
+                if bi % self.log_every == 0:
+                    self.metrics.log(int(state.step),
+                                     {k: float(v) for k, v in logs.items()}, "train")
+            state = state._replace(epoch=state.epoch + 1)
+
+            val_metrics = self._validate_stage2(model, data, eval_fn, state, variables)
+            self.metrics.log(int(state.step), val_metrics, "val")
+            import orbax.checkpoint as ocp
+
+            mngr.save(int(state.step), args=ocp.args.StandardSave(state),
+                      metrics={k: float(v) for k, v in val_metrics.items()})
+            mngr.wait_until_finished()
+            print(
+                f"epoch {epoch}: " +
+                " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items())
+            )
+        return state
+
+    def _validate_stage2(self, model, data, eval_fn, state, variables):
+        val_loader = data.val_dataloader(seed=self.seed)
+        b_sh = batch_sharding(self.mesh)
+        acc, n = {}, 0
+        for bi, batch in enumerate(device_prefetch(val_loader.epoch(0), b_sh)):
+            if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
+                break
+            x = model.first_stage_model.get_input(batch, model.first_stage_key)
+            c = (
+                jnp.asarray(batch["class_label"])
+                if model.cond_stage_key == "class_label"
+                else x
+            )
+            logs = eval_fn(state, variables, x, c)
+            for k, v in logs.items():
+                acc[k] = acc.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in acc.items()}
+
+
+def _load_first_stage(fs_model):
+    """Load stage-1 weights for the frozen first stage: orbax dir or torch
+    .ckpt (reference `first_stage_config.params.ckpt_path`)."""
+    path = str(fs_model.ckpt_path)
+    if path.endswith((".ckpt", ".pth", ".pt")):
+        from ..utils.torch_ckpt import load_dqvae_checkpoint
+
+        return load_dqvae_checkpoint(path)
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))

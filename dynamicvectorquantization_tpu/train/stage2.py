@@ -1,0 +1,120 @@
+"""Stage-2 (DQ-Transformer) training step.
+
+Reference: `models/stage2_dynamic/dqtransformer_uncond_entropy.py:92-143,
+222-248` — AdamW(0.9, 0.95) with a decay/no-decay split (Linear kernels decay;
+biases, LayerNorm, Embeddings, and the absolute `pos_emb` don't), warmup +
+cosine LR, frozen first stage, total = content_loss_weight * content +
+position_loss_weight * position.
+
+Torch parity detail: nn.Embedding(padding_idx=...) zeroes the pad row's
+gradient every step. Replicated via a gradient mask on the three embedding
+tables' pad rows.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .schedules import warmup_cosine
+
+
+class Stage2State(NamedTuple):
+    params: Any  # transformer params
+    opt: Any
+    step: jnp.ndarray
+    epoch: jnp.ndarray
+
+
+def _decay_mask(params):
+    """True (decay) for Dense kernels; False for everything else
+    (biases, LayerNorm scale/bias, embedding tables, pos_emb)."""
+
+    def mask(path, leaf):
+        leaf_name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        return leaf_name == "kernel"
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+class Stage2Trainer:
+    def __init__(self, model, learning_rate, min_learning_rate=0.0,
+                 warmup_steps=0, max_steps=1_000_000):
+        self.model = model
+        self.schedule = warmup_cosine(
+            learning_rate, warmup_steps, max_steps,
+            min_learning_rate / max(learning_rate, 1e-20),
+        )
+        self.tx = optax.adamw(
+            self.schedule,
+            b1=0.9,
+            b2=0.95,
+            weight_decay=model.weight_decay,
+            mask=_decay_mask,
+        )
+        t = model.transformer
+        self._pad_rows = {
+            "content_emb": t.content_pad_code,
+            "content_coarse_pos_emb": t.coarse_position_pad_code,
+            "content_fine_pos_emb": t.fine_position_pad_code,
+        }
+
+    def init_state(self, variables) -> Stage2State:
+        params = variables["transformer"]["params"]
+        return Stage2State(
+            params=params,
+            opt=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            epoch=jnp.zeros((), jnp.int32),
+        )
+
+    def _freeze_pad_rows(self, grads):
+        for table, pad in self._pad_rows.items():
+            if table in grads:
+                g = grads[table]["embedding"]
+                grads = {
+                    **grads,
+                    table: {"embedding": g.at[pad].set(0.0)},
+                }
+        return grads
+
+    def train_step(self, state: Stage2State, variables, x, c, rng):
+        """variables carries the frozen first stage + transformer non-params."""
+
+        def loss_fn(params):
+            v = {
+                "transformer": {**variables["transformer"], "params": params},
+                "first_stage": variables["first_stage"],
+            }
+            out = self.model.forward(v, x, c, train=True, rngs={"dropout": rng})
+            total = self.model.loss(out)
+            return total, out
+
+        (total, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = self._freeze_pad_rows(grads)
+        updates, opt = self.tx.update(grads, state.opt, state.params)
+        params = optax.apply_updates(state.params, updates)
+        logs = {
+            "train_loss": total,
+            "train_content_loss": out["content_loss"],
+            "train_position_loss": out["position_loss"],
+            "train_coarse_position_loss": out["coarse_position_loss"],
+            "train_fine_position_loss": out["fine_position_loss"],
+        }
+        return Stage2State(params, opt, state.step + 1, state.epoch), logs
+
+    def eval_step(self, state: Stage2State, variables, x, c):
+        v = {
+            "transformer": {**variables["transformer"], "params": state.params},
+            "first_stage": variables["first_stage"],
+        }
+        out = self.model.forward(v, x, c)
+        return {
+            "val_loss": self.model.loss(out),
+            "val_content_loss": out["content_loss"],
+            "val_position_loss": out["position_loss"],
+            "val_coarse_position_loss": out["coarse_position_loss"],
+            "val_fine_position_loss": out["fine_position_loss"],
+        }

@@ -122,18 +122,18 @@ def test_resnet_block_matches_torch_composition(np_rng):
     want = _nhwc(tsh(xt) + h)
 
     params = {
-        "norm1": {
+        "norm1": {"GroupNorm_0": {
             "scale": jnp.asarray(tn1.weight.detach().numpy()),
             "bias": jnp.asarray(tn1.bias.detach().numpy()),
-        },
+        }},
         "conv1": {
             "kernel": _t2j_conv_kernel(tc1.weight),
             "bias": jnp.asarray(tc1.bias.detach().numpy()),
         },
-        "norm2": {
+        "norm2": {"GroupNorm_0": {
             "scale": jnp.asarray(tn2.weight.detach().numpy()),
             "bias": jnp.asarray(tn2.bias.detach().numpy()),
-        },
+        }},
         "conv2": {
             "kernel": _t2j_conv_kernel(tc2.weight),
             "bias": jnp.asarray(tc2.bias.detach().numpy()),

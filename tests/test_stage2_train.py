@@ -1,0 +1,49 @@
+"""Stage-2 trainer: AdamW split, pad-row gradient freeze, loss decreases."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamicvectorquantization_tpu.train.stage2 import Stage2Trainer, _decay_mask
+from tests.test_dqtransformer import dualformer  # noqa: F401 (fixture)
+
+
+def test_decay_mask_structure(dualformer):  # noqa: F811
+    model, variables = dualformer
+    mask = _decay_mask(variables["transformer"]["params"])
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    kernels = [m for p, m in flat if "kernel" in str(p)]
+    others = [m for p, m in flat if "kernel" not in str(p)]
+    assert all(kernels) and kernels, "Dense kernels must decay"
+    assert not any(others), "embeddings/LN/bias/pos_emb must not decay"
+
+
+def test_train_step_and_pad_freeze(dualformer):  # noqa: F811
+    model, variables = dualformer
+    # warmup_steps=0: step 0 of a warmup has lr == 0 (reference LambdaLR
+    # semantics), which would make "params moved" assertions vacuous
+    trainer = Stage2Trainer(model, learning_rate=1e-3, warmup_steps=0, max_steps=50)
+    state = trainer.init_state(variables)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3), minval=-1, maxval=1)
+
+    step = jax.jit(trainer.train_step)
+    pad = model.transformer.content_pad_code
+    row0 = np.asarray(state.params["content_emb"]["embedding"][pad])
+
+    s, logs = step(state, variables, x, x, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["train_loss"]))
+    # pad row unchanged (gradient frozen); others moved
+    row1 = np.asarray(s.params["content_emb"]["embedding"][pad])
+    np.testing.assert_array_equal(row0, row1)
+    emb0 = np.asarray(state.params["content_emb"]["embedding"])
+    emb1 = np.asarray(s.params["content_emb"]["embedding"])
+    assert not np.allclose(emb0, emb1)
+
+    losses = [float(logs["train_loss"])]
+    for i in range(5):
+        s, logs = step(s, variables, x, x, jax.random.PRNGKey(2 + i))
+        losses.append(float(logs["train_loss"]))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+    val = jax.jit(trainer.eval_step)(s, variables, x, x)
+    assert np.isfinite(float(val["val_loss"]))

@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Trainer CLI — the reference's `train.py` surface on the TPU-native stack.
+
+Usage (reference-compatible):
+    python train.py --base configs/stage1/dqvae-entropy-dual-r05_imagenet.yml \
+        -t True --max_epochs 50 [--devices -1] [key.path=value ...]
+
+Reproduces the reference launcher behavior (`train.py:27-270`):
+  * N base YAMLs merged left-to-right + CLI dotlist overrides;
+  * logdir layout logs/<name>-<timestamp>/{configs,checkpoints,images};
+  * config snapshots + argv dump (rank-0 SetupCallback, `utils/logger.py:13-55`);
+  * LR rule `lr = accum x ndevices x batch_size x base_lr` (`train.py:248-257`);
+  * `--resume <logdir>` restores configs + latest checkpoint.
+
+The device axis is a jax.sharding Mesh (data parallel) instead of Lightning
+DDP; `--devices` caps the mesh size (-1 = all).
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="dqvq-tpu trainer")
+    p.add_argument("--base", nargs="*", default=[], metavar="cfg.yml",
+                   help="base config YAMLs, merged left-to-right")
+    p.add_argument("-t", "--train", type=str, default="True")
+    p.add_argument("--max_epochs", type=int, default=50)
+    p.add_argument("--devices", "--gpus", type=int, default=-1,
+                   help="-1 = all local devices (mesh dp axis)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="logdir to resume (restores configs + latest ckpt)")
+    p.add_argument("--seed", type=int, default=23)
+    p.add_argument("--logdir", type=str, default="logs")
+    p.add_argument("--name", type=str, default=None)
+    p.add_argument("--save_n", type=int, default=3, help="checkpoint top-k")
+    p.add_argument("--max_steps_per_epoch", type=int, default=None,
+                   help="cap steps (smoke runs)")
+    p.add_argument("--accumulate_grad_batches", type=int, default=1)
+    return p
+
+
+def main():
+    parser = get_parser()
+    opt, unknown = parser.parse_known_args()
+
+    from dynamicvectorquantization_tpu.config.yaml_config import load_config
+    from dynamicvectorquantization_tpu.utils.instantiate import instantiate_from_config
+    from dynamicvectorquantization_tpu.parallel.mesh import make_mesh
+    from dynamicvectorquantization_tpu.train.loop import Trainer
+
+    base_configs = list(opt.base)
+    if opt.resume:
+        logdir = opt.resume.rstrip("/")
+        cfg_dir = os.path.join(logdir, "configs")
+        base_configs = [
+            os.path.join(cfg_dir, f) for f in sorted(os.listdir(cfg_dir))
+            if f.endswith((".yml", ".yaml"))
+        ] + base_configs
+    else:
+        now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+        name = opt.name or (
+            os.path.splitext(os.path.basename(base_configs[0]))[0]
+            if base_configs else "run"
+        )
+        logdir = os.path.join(opt.logdir, f"{name}-{now}")
+
+    dotlist = [u for u in unknown if "=" in u]
+    config = load_config(base_configs, dotlist)
+
+    # config snapshot + argv dump (reference SetupCallback)
+    os.makedirs(os.path.join(logdir, "configs"), exist_ok=True)
+    import yaml
+
+    with open(os.path.join(logdir, "configs", "merged-project.yaml"), "w") as f:
+        yaml.safe_dump(config, f)
+    with open(os.path.join(logdir, "argv.json"), "w") as f:
+        json.dump(sys.argv, f)
+
+    model = instantiate_from_config(config["model"])
+    data = instantiate_from_config(config["data"])
+
+    n_devices = None if opt.devices in (-1, 0) else opt.devices
+    mesh = make_mesh(n_devices)
+    ndev = mesh.devices.size
+
+    # LR rule (reference train.py:248-257)
+    mcfg = config["model"]
+    bs = config["data"]["params"]["batch_size"]
+    if "base_learning_rate" in mcfg:
+        base_lr = mcfg["base_learning_rate"]
+        model.learning_rate = opt.accumulate_grad_batches * ndev * bs * base_lr
+        print(
+            f"Setting learning rate to {model.learning_rate:.2e} = "
+            f"{opt.accumulate_grad_batches} (accum) * {ndev} (devices) * "
+            f"{bs} (batchsize) * {base_lr:.2e} (base_lr)"
+        )
+    elif "learning_rate" in mcfg:
+        model.learning_rate = mcfg["learning_rate"]
+        print("Using default learning_rate", model.learning_rate)
+    else:
+        raise SystemExit("Please set a learning rate in the model config!")
+    model.min_learning_rate = mcfg.get("min_learning_rate", 0.0)
+
+    trainer = Trainer(
+        logdir=logdir,
+        max_epochs=opt.max_epochs,
+        seed=opt.seed,
+        save_top_k=opt.save_n,
+        mesh=mesh,
+        max_steps_per_epoch=opt.max_steps_per_epoch,
+        resume=bool(opt.resume),
+    )
+    with mesh:
+        trainer.fit(model, data)
+
+
+if __name__ == "__main__":
+    main()
