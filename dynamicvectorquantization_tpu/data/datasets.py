@@ -36,11 +36,25 @@ class FileListDataset:
     def __len__(self):
         return len(self.files)
 
-    def __getitem__(self, i, rng: Optional[np.random.Generator] = None):
+    def _open(self, path):
+        """JPEGs go through the native libjpeg decoder with DCT-domain
+        downscale (never below the target size); everything else through PIL."""
         from PIL import Image
 
+        if path.lower().endswith((".jpg", ".jpeg")):
+            from .. import native
+
+            with open(path, "rb") as f:
+                data = f.read()
+            arr = native.decode_jpeg(data, min_side=self.size)
+            if arr is not None:
+                return Image.fromarray(arr)
+            return Image.open(__import__("io").BytesIO(data))
+        return Image.open(path)
+
+    def __getitem__(self, i, rng: Optional[np.random.Generator] = None):
         rng = rng or np.random.default_rng()
-        with Image.open(self.files[i]) as img:
+        with self._open(self.files[i]) as img:
             image = self.transform(img, self.size, rng)
         ex = {"image": image}
         if self.labels is not None:
