@@ -34,7 +34,11 @@ def main():
     batch = int(os.environ.get("DQVQ_BENCH_BATCH", "32"))
     iters = int(os.environ.get("DQVQ_BENCH_ITERS", "10"))
 
-    model = DualGrainVQModel(**_dual_config(256, ch=128, z_ch=256, codebook=1024))
+    compute_dtype = os.environ.get("DQVQ_BENCH_DTYPE", "bfloat16")
+    cfg = _dual_config(256, ch=128, z_ch=256, codebook=1024)
+    if compute_dtype and compute_dtype != "float32":
+        cfg["compute_dtype"] = compute_dtype
+    model = DualGrainVQModel(**cfg)
     variables = model.init(jax.random.PRNGKey(0))
     x = jax.random.uniform(
         jax.random.PRNGKey(1), (batch, 256, 256, 3), minval=-1, maxval=1
@@ -52,16 +56,19 @@ def main():
         return info[2], grains, new_carry
 
     carry = jnp.float32(0.0)
-    # warmup / compile
+    # warmup / compile. NOTE: host materialization (float()) rather than
+    # block_until_ready — on the experimental axon platform the latter does
+    # not actually block, yielding impossible throughput numbers (measured
+    # 70k img/s vs a 148.4 GFLOP/img graph).
     _, _, carry = encode(variables, x, carry)
-    jax.block_until_ready(carry)
+    float(carry)
     _, _, carry = encode(variables, x, carry)
-    jax.block_until_ready(carry)
+    float(carry)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         _, _, carry = encode(variables, x, carry)
-    jax.block_until_ready(carry)
+    float(carry)
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt

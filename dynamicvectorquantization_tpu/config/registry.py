@@ -45,6 +45,35 @@ TARGET_ALIASES = {
     "modules.losses.vqperceptual.VQLPIPSWithDiscriminator": f"{_PKG}.losses.vqperceptual.VQLPIPSWithDiscriminator",
     "modules.losses.vqperceptual.DummyLoss": f"{_PKG}.losses.vqperceptual.DummyLoss",
     "modules.discriminator.model.NLayerDiscriminator": f"{_PKG}.nn.discriminator.NLayerDiscriminator",
+    # ---- legacy stage-1 baselines ----
+    "models.stage1.vqgan.VQModel": f"{_PKG}.models.vqgan.VQModel",
+    "models.stage1.vqgan_multivq.VQModel": f"{_PKG}.models.vqgan.VQModel",
+    "models.stage1.rqvae.RQModel": f"{_PKG}.models.vqgan.RQModel",
+    "models.stage1.rqvae.VQModel": f"{_PKG}.models.vqgan.RQModel",
+    # ---- legacy quantizers ----
+    "modules.vector_quantization.quantize_vqgan.VectorQuantizer": f"{_PKG}.ops.quantizers.VectorQuantizer",
+    "modules.vector_quantization.quantize_vqgan.VectorQuantizer2": f"{_PKG}.ops.quantizers.VectorQuantizer",
+    "modules.vector_quantization.quantize.VectorQuantizer": f"{_PKG}.ops.quantizers.VectorQuantizer",
+    "modules.vector_quantization.quantize_vqgan.GumbelQuantize": f"{_PKG}.ops.quantizers.GumbelQuantize",
+    "modules.vector_quantization.quantize_vqgan.EMAVectorQuantizer": f"{_PKG}.ops.quantizers.EMAVectorQuantizer",
+    "modules.vector_quantization.quantize_rqvae.RQBottleneck": f"{_PKG}.ops.quantizers.RQBottleneck",
+    # ---- legacy stage-2 (minGPT family) ----
+    "modules.transformer.mingpt.GPT": f"{_PKG}.nn.mingpt.GPT",
+    "models.stage2.uncond_transformer.UncondTransformer": f"{_PKG}.models.legacy_transformer.UncondTransformer",
+    "models.stage2.uncond_transformer.Net2NetTransformer": f"{_PKG}.models.legacy_transformer.UncondTransformer",
+    "models.stage2.class_transformer.ClassTransformer": f"{_PKG}.models.legacy_transformer.ClassTransformer",
+    "models.stage2.class_transformer.Net2NetTransformer": f"{_PKG}.models.legacy_transformer.ClassTransformer",
+    # ---- legacy sequence permuters ----
+    "modules.transformer.permuter.Identity": f"{_PKG}.models.sequence_permuters.Identity",
+    "modules.transformer.permuter.Subsample": f"{_PKG}.models.sequence_permuters.Subsample",
+    "modules.transformer.permuter.ZCurve": f"{_PKG}.models.sequence_permuters.ZCurve",
+    "modules.transformer.permuter.SpiralOut": f"{_PKG}.models.sequence_permuters.SpiralOut",
+    "modules.transformer.permuter.SpiralIn": f"{_PKG}.models.sequence_permuters.SpiralIn",
+    "modules.transformer.permuter.Random": f"{_PKG}.models.sequence_permuters.Random",
+    "modules.transformer.permuter.AlternateParsing": f"{_PKG}.models.sequence_permuters.AlternateParsing",
+    # ---- legacy conditioners ----
+    "utils.utils.SOSProvider": f"{_PKG}.models.legacy_transformer.SOSProvider",
+    "utils.utils.Labelator": f"{_PKG}.models.legacy_transformer.Labelator",
     # ---- data ----
     "data.build.DataModuleFromConfig": f"{_PKG}.data.datasets.DataModuleFromConfig",
     "data.imagenet.ImageNetTrain": f"{_PKG}.data.datasets.ImageNetTrain",

@@ -229,6 +229,51 @@ class Dualformer:
             + self.position_loss_weight * output["position_loss"]
         )
 
+    def log_images(
+        self, variables, batch, rng=None, temperature=None, top_k=None,
+        top_p=None, top_k_pos=None, top_p_pos=None, **kwargs
+    ):
+        """Reference `log_images` surface (`dqtransformer_uncond_entropy.py:
+        250-300`): fixed-fine-position samples, free samples, and (first call)
+        inputs + stage-2-path reconstructions."""
+        import numpy as np
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        x = self.first_stage_model.get_input(batch, self.first_stage_key)[:4]
+        c_in = (
+            jnp.asarray(batch[self.cond_stage_key])[:4]
+            if self.cond_stage_key != "image"
+            else x
+        )
+        c = self.encode_to_c(c_in)
+        kw = dict(
+            temperature=temperature if temperature is not None else 1.0,
+            top_k=top_k if top_k is not None else 300,
+            top_p=top_p if top_p is not None else 1.0,
+            top_k_pos=top_k_pos if top_k_pos is not None else 100,
+            top_p_pos=top_p_pos if top_p_pos is not None else 1.0,
+        )
+        log = {}
+        r1, r2 = jax.random.split(rng)
+        out = self.sample_from_scratch(variables, *c, rng=r1,
+                                       fix_fine_position=True, **kw)
+        log["samples_fixed_fine_position"] = np.asarray(
+            self.decode_to_img(variables, *out)
+        )
+        out = self.sample_from_scratch(variables, *c, rng=r2,
+                                       fix_fine_position=False, **kw)
+        log["samples_from_scratch"] = np.asarray(self.decode_to_img(variables, *out))
+
+        _, z = self.encode_to_z(variables, x)
+        log["inputs"] = np.asarray(x)
+        log["reconstructions"] = np.asarray(
+            self.decode_to_img(
+                variables, z["coarse_content"], z["fine_content"],
+                z["coarse_position"], z["fine_position"],
+            )
+        )
+        return log
+
     # ------------------------------------------------------------- sampling
     def _apply_transformer(self, variables, method_name, *args, **kwargs):
         return self.transformer.apply(

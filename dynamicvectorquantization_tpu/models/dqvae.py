@@ -51,10 +51,18 @@ class DQVAENet(nn.Module):
     image_size: int = 256
     use_entropy: bool = True
     feature_key: str = "h_dual"  # "h_triple" for the triple-grain encoder
+    compute_dtype: Optional[str] = None  # "bfloat16" = MXU-native conv path
+
+    def _with_dtype(self, cfg):
+        if not self.compute_dtype:
+            return cfg
+        cfg = dict(cfg)
+        cfg["params"] = {**(cfg.get("params") or {}), "dtype": jnp.dtype(self.compute_dtype)}
+        return cfg
 
     def setup(self):
-        self.encoder = instantiate_from_config(self.encoderconfig)
-        self.decoder = instantiate_from_config(self.decoderconfig)
+        self.encoder = instantiate_from_config(self._with_dtype(self.encoderconfig))
+        self.decoder = instantiate_from_config(self._with_dtype(self.decoderconfig))
         self.quantize = instantiate_from_config(self.vqconfig)
         self.quant_conv = nn.Conv(self.quant_after_dim, (1, 1), name="quant_conv")
         self.post_quant_conv = nn.Conv(self.quant_before_dim, (1, 1), name="post_quant_conv")
@@ -128,6 +136,7 @@ class _VQModelBundle:
         scheduler_type="linear-warmup_cosine-decay",
         entropy_patch_size=16,
         image_size=256,
+        compute_dtype=None,
     ):
         self.net = DQVAENet(
             encoderconfig=encoderconfig,
@@ -140,6 +149,7 @@ class _VQModelBundle:
             image_size=image_size,
             use_entropy=_is_entropy_router(encoderconfig),
             feature_key=self.feature_key,
+            compute_dtype=compute_dtype,
         )
         self.loss = instantiate_from_config(lossconfig) if lossconfig else None
         self.image_key = image_key
@@ -179,6 +189,29 @@ class _VQModelBundle:
 
     def get_code_emb_with_depth(self, variables, code):
         return self.net.apply(variables, code, method="get_code_emb_with_depth")
+
+    def log_images(self, variables, batch, **kwargs):
+        """Reference `log_images` surface (`dqvae_dual_entropy.py:244-256`):
+        inputs / reconstructions / grain_map (+ entropy_map when computed).
+        Returns numpy arrays in [-1, 1]."""
+        import numpy as np
+
+        from ..utils import viz
+
+        x = self.get_input(batch, self.image_key)
+        xrec, _, grain_indices, gate, x_entropy = self.forward(variables, x)
+        log = {
+            "inputs": np.asarray(x),
+            "reconstructions": np.asarray(xrec),
+            "grain_map": viz.draw_grain_map_color(
+                np.asarray(x), np.asarray(grain_indices)
+            ),
+        }
+        if x_entropy is not None:
+            e = np.asarray(x_entropy)
+            e = (e - e.min()) / max(e.max() - e.min(), 1e-5)
+            log["entropy_map"] = viz.draw_grain_map_color(np.asarray(x), e)
+        return log
 
     @staticmethod
     def get_input(batch, key):

@@ -18,7 +18,7 @@ Layout is NHWC (TPU-native). Torch OIHW kernels transpose to HWIO on load
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -62,19 +62,22 @@ class Normalize(nn.Module):
 class Upsample(nn.Module):
     in_channels: int
     with_conv: bool = True
+    dtype: Any = None  # conv compute dtype (bf16 path); params stay f32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest x2
         if self.with_conv:
-            x = nn.Conv(self.in_channels, (3, 3), padding="SAME", name="conv")(x)
+            x = nn.Conv(self.in_channels, (3, 3), padding="SAME",
+                        dtype=self.dtype, name="conv")(x)
         return x
 
 
 class Downsample(nn.Module):
     in_channels: int
     with_conv: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -82,7 +85,8 @@ class Downsample(nn.Module):
             # reference pads (left=0, right=1, top=0, bottom=1) then VALID
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
             x = nn.Conv(
-                self.in_channels, (3, 3), strides=(2, 2), padding="VALID", name="conv"
+                self.in_channels, (3, 3), strides=(2, 2), padding="VALID",
+                dtype=self.dtype, name="conv"
             )(x)
         else:
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
@@ -95,43 +99,47 @@ class ResnetBlock(nn.Module):
     conv_shortcut: bool = False
     dropout: float = 0.0
     temb_channels: int = 0
+    dtype: Any = None  # conv compute dtype; GroupNorm always runs f32
 
     @nn.compact
     def __call__(self, x, temb=None, deterministic: bool = True):
         out_ch = self.out_channels or self.in_channels
         h = GroupNorm32(name="norm1")(x)
         h = nonlinearity(h)
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv1")(h)
+        h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
 
         if temb is not None:
-            h = h + nn.Dense(out_ch, name="temb_proj")(nonlinearity(temb))[:, None, None, :]
+            h = h + nn.Dense(out_ch, dtype=self.dtype, name="temb_proj")(
+                nonlinearity(temb))[:, None, None, :]
 
         h = GroupNorm32(name="norm2")(h)
         h = nonlinearity(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv2")(h)
+        h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
 
         if self.in_channels != out_ch:
             if self.conv_shortcut:
-                x = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv_shortcut")(x)
+                x = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype,
+                            name="conv_shortcut")(x)
             else:
-                x = nn.Conv(out_ch, (1, 1), name="nin_shortcut")(x)
-        return x + h
+                x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+        return (x + h).astype(x.dtype) if self.dtype is None else x.astype(self.dtype) + h
 
 
 class AttnBlock(nn.Module):
     in_channels: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         h_ = GroupNorm32(name="norm")(x)
-        q = nn.Conv(c, (1, 1), name="q")(h_).reshape(b, h * w, c)
-        k = nn.Conv(c, (1, 1), name="k")(h_).reshape(b, h * w, c)
-        v = nn.Conv(c, (1, 1), name="v")(h_).reshape(b, h * w, c)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h_).reshape(b, h * w, c)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h_).reshape(b, h * w, c)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h_).reshape(b, h * w, c)
 
         attn = jnp.einsum("bic,bjc->bij", q, k) * (c ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
         h_ = jnp.einsum("bij,bjc->bic", attn, v).reshape(b, h, w, c)
-        h_ = nn.Conv(c, (1, 1), name="proj_out")(h_)
-        return x + h_
+        h_ = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h_)
+        return (x.astype(h_.dtype) + h_)

@@ -9,7 +9,7 @@ shipped configs use "fourier+learned"), "learned-relative", and "none"
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -32,6 +32,7 @@ class PositionalDecoder(nn.Module):
     latent_size: int = 32
     window_size: int = 2
     position_type: str = "fourier+learned"
+    dtype: Any = None  # bf16 compute path for the conv stack (params stay f32)
 
     @nn.compact
     def __call__(
@@ -83,14 +84,12 @@ class PositionalDecoder(nn.Module):
         block_in = self.ch * self.ch_mult[num_res - 1]
         curr_res = self.resolution // 2 ** (num_res - 1)
 
-        h = nn.Conv(block_in, (3, 3), padding="SAME", name="conv_in")(h)
-        h = ResnetBlock(in_channels=block_in, dropout=self.dropout, name="mid_block_1")(
-            h, deterministic=deterministic
-        )
-        h = AttnBlock(block_in, name="mid_attn_1")(h)
-        h = ResnetBlock(in_channels=block_in, dropout=self.dropout, name="mid_block_2")(
-            h, deterministic=deterministic
-        )
+        h = nn.Conv(block_in, (3, 3), padding="SAME", dtype=self.dtype, name="conv_in")(h)
+        h = ResnetBlock(in_channels=block_in, dropout=self.dropout, dtype=self.dtype,
+                        name="mid_block_1")(h, deterministic=deterministic)
+        h = AttnBlock(block_in, dtype=self.dtype, name="mid_attn_1")(h)
+        h = ResnetBlock(in_channels=block_in, dropout=self.dropout, dtype=self.dtype,
+                        name="mid_block_2")(h, deterministic=deterministic)
 
         for i_level in reversed(range(num_res)):
             block_out = self.ch * self.ch_mult[i_level]
@@ -99,13 +98,14 @@ class PositionalDecoder(nn.Module):
                     in_channels=block_in,
                     out_channels=block_out,
                     dropout=self.dropout,
+                    dtype=self.dtype,
                     name=f"up_{i_level}_block_{i_block}",
                 )(h, deterministic=deterministic)
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(block_in, name=f"up_{i_level}_attn_{i_block}")(h)
+                    h = AttnBlock(block_in, dtype=self.dtype, name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
-                h = Upsample(block_in, self.resamp_with_conv, name=f"up_{i_level}_upsample")(h)
+                h = Upsample(block_in, self.resamp_with_conv, dtype=self.dtype, name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
 
         if self.give_pre_end:

@@ -52,12 +52,13 @@ class DownStack(nn.Module):
     dropout: float
     resamp_with_conv: bool
     resolution: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         num_res = len(self.ch_mult)
         in_ch_mult = (1,) + tuple(self.ch_mult)
-        h = nn.Conv(self.ch, (3, 3), padding="SAME", name="conv_in")(x)
+        h = nn.Conv(self.ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv_in")(x)
         curr_res = self.resolution
         taps = {}
         for i_level in range(num_res):
@@ -68,15 +69,17 @@ class DownStack(nn.Module):
                     in_channels=block_in,
                     out_channels=block_out,
                     dropout=self.dropout,
+                    dtype=self.dtype,
                     name=f"down_{i_level}_block_{i_block}",
                 )(h, deterministic=deterministic)
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(block_in, name=f"down_{i_level}_attn_{i_block}")(h)
+                    h = AttnBlock(block_in, dtype=self.dtype, name=f"down_{i_level}_attn_{i_block}")(h)
             taps[i_level] = h  # post-blocks, pre-downsample
             if i_level != num_res - 1:
                 h = Downsample(
-                    block_in, self.resamp_with_conv, name=f"down_{i_level}_downsample"
+                    block_in, self.resamp_with_conv, dtype=self.dtype,
+                    name=f"down_{i_level}_downsample"
                 )(h)
                 curr_res //= 2
         taps["final"] = h
@@ -89,18 +92,22 @@ class GrainHead(nn.Module):
     block_in: int
     z_channels: int
     dropout: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, h, deterministic: bool = True):
         h = ResnetBlock(
-            in_channels=self.block_in, dropout=self.dropout, name="mid_block_1"
+            in_channels=self.block_in, dropout=self.dropout, dtype=self.dtype,
+            name="mid_block_1"
         )(h, deterministic=deterministic)
-        h = AttnBlock(self.block_in, name="mid_attn_1")(h)
+        h = AttnBlock(self.block_in, dtype=self.dtype, name="mid_attn_1")(h)
         h = ResnetBlock(
-            in_channels=self.block_in, dropout=self.dropout, name="mid_block_2"
+            in_channels=self.block_in, dropout=self.dropout, dtype=self.dtype,
+            name="mid_block_2"
         )(h, deterministic=deterministic)
         h = GroupNorm32(name="norm_out")(h)
         h = nonlinearity(h)
+        # head output in f32: feeds the router and the VQ distance kernel
         return nn.Conv(self.z_channels, (3, 3), padding="SAME", name="conv_out")(h)
 
 
@@ -116,6 +123,7 @@ class DualGrainEncoder(nn.Module):
     z_channels: int = 256
     router_config: Mapping[str, Any] | None = None
     update_router: bool = True
+    dtype: Any = None  # bf16 compute path for the conv stack (params stay f32)
 
     # commitment weight per grain: 1 coarse code covers 4 fine positions
     coarse_commit_weight: float = 0.25
@@ -133,9 +141,10 @@ class DualGrainEncoder(nn.Module):
             dropout=self.dropout,
             resamp_with_conv=self.resamp_with_conv,
             resolution=self.resolution,
+            dtype=self.dtype,
         )
-        self.head_coarse = GrainHead(block_in, self.z_channels, self.dropout)
-        self.head_fine = GrainHead(block_in_fine, self.z_channels, self.dropout)
+        self.head_coarse = GrainHead(block_in, self.z_channels, self.dropout, self.dtype)
+        self.head_fine = GrainHead(block_in_fine, self.z_channels, self.dropout, self.dtype)
         self.router = instantiate_from_config(self.router_config)
         self._num_res = num_res
 

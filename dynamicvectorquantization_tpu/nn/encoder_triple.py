@@ -29,6 +29,7 @@ class TripleGrainEncoder(nn.Module):
     resolution: int = 256
     z_channels: int = 256
     router_config: Mapping[str, Any] | None = None
+    dtype: Any = None
 
     coarse_commit_weight: float = 0.0625
     median_commit_weight: float = 0.25
@@ -47,10 +48,11 @@ class TripleGrainEncoder(nn.Module):
             dropout=self.dropout,
             resamp_with_conv=self.resamp_with_conv,
             resolution=self.resolution,
+            dtype=self.dtype,
         )
-        self.head_coarse = GrainHead(block_in, self.z_channels, self.dropout)
-        self.head_median = GrainHead(block_in_median, self.z_channels, self.dropout)
-        self.head_fine = GrainHead(block_in_fine, self.z_channels, self.dropout)
+        self.head_coarse = GrainHead(block_in, self.z_channels, self.dropout, self.dtype)
+        self.head_median = GrainHead(block_in_median, self.z_channels, self.dropout, self.dtype)
+        self.head_fine = GrainHead(block_in_fine, self.z_channels, self.dropout, self.dtype)
         self.router = instantiate_from_config(self.router_config)
         self._num_res = num_res
 

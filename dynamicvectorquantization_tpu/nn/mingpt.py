@@ -1,0 +1,135 @@
+"""minGPT (legacy fixed-length stage-2 transformer) with cached decode.
+
+Reference: `modules/transformer/mingpt.py:125-355` — token + learned absolute
+position embeddings, N blocks, LayerNorm + bias-free head; `sample_with_past`
+is the reference's only KV-cache code path. Here the cache machinery is the
+same `nn/transformer.py` used by StackGPT.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .init import normal_init
+from .transformer import KVCache, TransformerStack
+
+
+class GPT(nn.Module):
+    vocab_size: int = 1024
+    block_size: int = 512
+    n_layer: int = 12
+    n_head: int = 8
+    n_embd: int = 256
+    embd_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    attn_pdrop: float = 0.0
+    n_unmasked: int = 0  # parity field; full-causal here
+    use_flash_attention: bool = False
+
+    def setup(self):
+        self.tok_emb = nn.Embed(
+            self.vocab_size, self.n_embd, embedding_init=normal_init(0.02),
+            name="tok_emb",
+        )
+        self.pos_emb = self.param(
+            "pos_emb", nn.initializers.zeros, (1, self.block_size, self.n_embd)
+        )
+        self.drop = nn.Dropout(self.embd_pdrop)
+        self.blocks = TransformerStack(
+            num_layers=self.n_layer,
+            n_embd=self.n_embd,
+            n_head=self.n_head,
+            attn_pdrop=self.attn_pdrop,
+            resid_pdrop=self.resid_pdrop,
+            use_flash_attention=self.use_flash_attention,
+            name="blocks",
+        )
+        self.ln_f = nn.LayerNorm(name="ln_f")
+        self.head = nn.Dense(
+            self.vocab_size, use_bias=False, kernel_init=normal_init(0.02), name="head"
+        )
+
+    def __call__(self, idx, embeddings=None, targets=None, train: bool = False):
+        """idx: (B, T) tokens; embeddings: optional prefix embeddings (B, P, D)
+        prepended before the tokens (reference mingpt.py:137-160)."""
+        x = self.tok_emb(idx)
+        if embeddings is not None:
+            x = jnp.concatenate([embeddings, x], axis=1)
+        t = x.shape[1]
+        x = x + self.pos_emb[:, :t, :]
+        x = self.drop(x, deterministic=not train)
+        x, _ = self.blocks(x, deterministic=not train)
+        logits = self.head(self.ln_f(x))
+        if targets is None:
+            return logits, None
+        from .stackgpt import cross_entropy_ignore
+
+        loss = cross_entropy_ignore(logits, targets, ignore_index=-100)
+        return logits, loss
+
+    # --------------------------------------------------------------- decode
+    def make_cache(self, batch: int, max_len: int):
+        hd = self.n_embd // self.n_head
+        return KVCache.create(self.n_layer, batch, self.n_head, max_len, hd)
+
+    def step(self, tok, cache: KVCache, index):
+        """One cached decode step; tok (B,), index scalar -> (logits, cache)."""
+        x = self.tok_emb(tok)[:, None, :] + jax.lax.dynamic_slice_in_dim(
+            self.pos_emb[0], index, 1, axis=0
+        )
+        x, cache = self.blocks(x, deterministic=True, cache=cache, cache_index=index)
+        logits = self.head(self.ln_f(x[:, 0]))
+        return logits, cache
+
+    def step_embedding(self, emb, cache: KVCache, index):
+        """Cached step from a raw embedding (conditioning prefix)."""
+        x = emb[:, None, :] + jax.lax.dynamic_slice_in_dim(
+            self.pos_emb[0], index, 1, axis=0
+        )
+        x, cache = self.blocks(x, deterministic=True, cache=cache, cache_index=index)
+        logits = self.head(self.ln_f(x[:, 0]))
+        return logits, cache
+
+
+def sample_with_past(
+    gpt: GPT,
+    variables,
+    x0,
+    steps: int,
+    rng,
+    temperature: float = 1.0,
+    sample_logits: bool = True,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+):
+    """KV-cached AR sampling (reference `mingpt.py:324-355`): feed the prefix
+    once, then one cached step per generated token. Returns (B, steps)."""
+    from ..models.sampling import sample_from_logits
+
+    b, p = x0.shape
+    cache = gpt.apply(variables, b, p + steps, method="make_cache")
+
+    # prefill the prefix
+    logits = None
+    for i in range(p):
+        logits, cache = gpt.apply(variables, x0[:, i], cache, jnp.int32(i), method="step")
+
+    out = jnp.zeros((b, steps), jnp.int32)
+
+    def body(i, carry):
+        out, cache, logits, rng = carry
+        rng, sub = jax.random.split(rng)
+        tok = sample_from_logits(
+            sub, logits / temperature, 1.0, top_k, top_p, sample_logits
+        ).astype(jnp.int32)
+        out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, i))
+        logits, cache = gpt.apply(variables, tok, cache, p + i, method="step")
+        return out, cache, logits, rng
+
+    out, cache, logits, rng = jax.lax.fori_loop(
+        0, steps, body, (out, cache, logits, rng)
+    )
+    return out

@@ -71,6 +71,9 @@ class StackGPT(nn.Module):
     # Batch-invariance option absent in the reference (which attends pad keys;
     # see models/permuter.py docstring). Off by default for reference parity.
     mask_pad_attention: bool = False
+    # Pallas flash attention for training (skips attn_pdrop; see
+    # nn/transformer.py). Off by default for reference parity.
+    use_flash_attention: bool = False
 
     def setup(self):
         emb = lambda n, name: nn.Embed(
@@ -93,6 +96,7 @@ class StackGPT(nn.Module):
             n_head=self.n_head,
             attn_pdrop=self.attn_pdrop,
             resid_pdrop=self.resid_pdrop,
+            use_flash_attention=self.use_flash_attention,
             name=name,
         )
         self.position_transformer = stack(self.position_layer, "position_transformer")

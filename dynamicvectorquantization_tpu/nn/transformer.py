@@ -32,11 +32,33 @@ class KVCache(NamedTuple):
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
+def _flash_causal_attention(q, k, v, sm_scale):
+    """Pallas TPU flash attention (training path): pads seq to a block
+    multiple; padded KEYS are never attended (causal + real queries < pad
+    start), padded QUERY outputs are sliced away."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    b, h, t, d = q.shape
+    block = 512 if t >= 512 else 128
+    t_pad = ((t + block - 1) // block) * block
+    if t_pad != t:
+        pad = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    out = flash_attention(q, k, v, causal=True, sm_scale=sm_scale)
+    return out[:, :, :t, :]
+
+
 class CausalSelfAttention(nn.Module):
     n_embd: int
     n_head: int
     attn_pdrop: float = 0.0
     resid_pdrop: float = 0.0
+    # Pallas flash attention for the full-sequence (training) path. Note:
+    # flash has no attention-probability dropout, so enabling this skips
+    # attn_pdrop (resid/embd dropout unaffected) — a documented deviation.
+    use_flash_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -76,6 +98,12 @@ class CausalSelfAttention(nn.Module):
             att = jnp.where(valid, att, jnp.finfo(att.dtype).min)
             att = jax.nn.softmax(att, axis=-1)
             y = jnp.einsum("bhqk,bhkd->bhqd", att, v_cache)
+        elif (
+            self.use_flash_attention
+            and attn_bias is None
+            and jax.default_backend() == "tpu"
+        ):
+            y = _flash_causal_attention(q, k, v, sm_scale=1.0 / float(hd) ** 0.5)
         else:
             att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
             causal = jnp.tril(jnp.ones((t, t), bool))
@@ -97,6 +125,7 @@ class Block(nn.Module):
     n_head: int
     attn_pdrop: float = 0.0
     resid_pdrop: float = 0.0
+    use_flash_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -112,6 +141,7 @@ class Block(nn.Module):
             self.n_head,
             self.attn_pdrop,
             self.resid_pdrop,
+            self.use_flash_attention,
             name="attn",
         )(
             nn.LayerNorm(name="ln1")(x),
@@ -137,6 +167,7 @@ class TransformerStack(nn.Module):
     n_head: int
     attn_pdrop: float = 0.0
     resid_pdrop: float = 0.0
+    use_flash_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -157,6 +188,7 @@ class TransformerStack(nn.Module):
                 self.n_head,
                 self.attn_pdrop,
                 self.resid_pdrop,
+                self.use_flash_attention,
                 name=f"h_{i}",
             )(
                 x,

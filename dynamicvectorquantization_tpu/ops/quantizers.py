@@ -1,0 +1,184 @@
+"""Legacy/alternative quantizers (the reference's non-flagship VQ family).
+
+Reference surface:
+  * `modules/vector_quantization/quantize_vqgan.py:9-108` — taming-style
+    VectorQuantizer: codebook trained by GRADIENTS (not EMA), loss =
+    ||sg(z) - e||^2 + beta ||z - sg(e)||^2;
+  * `quantize_vqgan.py:213-341` — VectorQuantizer2 (argmin lookup, optional
+    index remap, "sane" index shapes);
+  * `quantize_vqgan.py:110-211` — GumbelQuantize: soft gumbel-softmax over
+    code logits with KL-to-uniform regularizer;
+  * `quantize_vqgan.py:343-457` — EMAVectorQuantizer (taming EMA flavor);
+  * `quantize_rqvae.py:149-` — RQBottleneck: residual quantization of depth D
+    against (shared or per-depth) EMA codebooks.
+
+All NHWC flax modules returning the reference's (quant, loss, info) shape.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .vq_pallas import nearest_codes
+from .vq import VectorQuantizeEMA
+
+
+class VectorQuantizer(nn.Module):
+    """Gradient-trained codebook (taming VectorQuantizer/VectorQuantizer2)."""
+
+    n_e: int = 1024
+    e_dim: int = 256
+    beta: float = 0.25
+    use_pallas: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, z, codebook_mask=None, train: bool = False, **_):
+        emb = self.param(
+            "embedding",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -1.0 / self.n_e, 1.0 / self.n_e),
+            (self.n_e, self.e_dim),
+        )
+        flat = z.reshape(-1, self.e_dim)
+        idx, _ = nearest_codes(jax.lax.stop_gradient(flat), jax.lax.stop_gradient(emb),
+                               self.use_pallas)
+        z_q = jnp.take(emb, idx, axis=0).reshape(z.shape)  # grads reach emb
+        loss = jnp.mean((jax.lax.stop_gradient(z) - z_q) ** 2) + self.beta * jnp.mean(
+            (z - jax.lax.stop_gradient(z_q)) ** 2
+        )
+        z_q = z + jax.lax.stop_gradient(z_q - z)
+        code = idx.reshape(z.shape[:-1])
+        return z_q, loss, (None, None, code)
+
+    def get_codebook_entry(self, indices):
+        emb = self.get_variable("params", "embedding")
+        return jnp.take(emb, indices, axis=0)
+
+
+class GumbelQuantize(nn.Module):
+    """Soft gumbel-softmax quantization with KL-to-uniform regularizer
+    (taming GumbelQuantize)."""
+
+    num_hiddens: int = 256
+    embedding_dim: int = 256
+    n_embed: int = 1024
+    kl_weight: float = 5e-4
+    temp_init: float = 1.0
+    straight_through: bool = True
+
+    @nn.compact
+    def __call__(self, z, temp: Optional[float] = None, train: bool = False, **_):
+        hard = self.straight_through if train else True
+        temp = self.temp_init if temp is None or temp == 0.0 else temp
+
+        logits = nn.Conv(self.n_embed, (1, 1), name="proj")(z)
+        emb = self.param(
+            "embedding", nn.initializers.normal(1.0), (self.n_embed, self.embedding_dim)
+        )
+        if train:
+            g = jax.random.gumbel(self.make_rng("gumbel"), logits.shape)
+            soft = jax.nn.softmax((logits + g) / temp, axis=-1)
+        else:
+            soft = jax.nn.softmax(logits / temp, axis=-1)
+        if hard:
+            idx = jnp.argmax(soft, axis=-1)
+            onehot = jax.nn.one_hot(idx, self.n_embed, dtype=soft.dtype)
+            soft_q = onehot + soft - jax.lax.stop_gradient(soft)
+        else:
+            soft_q = soft
+            idx = jnp.argmax(soft, axis=-1)
+        z_q = jnp.einsum("bhwn,nd->bhwd", soft_q, emb)
+
+        probs = jax.nn.softmax(logits, axis=-1)
+        kl = self.kl_weight * jnp.mean(
+            jnp.sum(probs * jnp.log(probs * self.n_embed + 1e-10), axis=-1)
+        )
+        return z_q, kl, (None, None, idx)
+
+
+class EMAVectorQuantizer(nn.Module):
+    """Taming-style EMA quantizer — same EMA math as the flagship masked
+    quantizer minus the mask/pad row; provided for legacy config parity."""
+
+    n_embed: int = 1024
+    embedding_dim: int = 256
+    beta: float = 0.25
+    decay: float = 0.99
+    eps: float = 1e-5
+
+    def setup(self):
+        self.inner = VectorQuantizeEMA(
+            codebook_size=self.n_embed,
+            codebook_dim=self.embedding_dim,
+            commitment_beta=self.beta,
+            decay=self.decay,
+            restart_unused_codes=False,
+            eps=self.eps,
+        )
+
+    def __call__(self, z, train: bool = False, **_):
+        return self.inner(z, train=train)
+
+    def get_codebook_entry(self, indices):
+        return self.inner.get_codebook_entry(indices)
+
+
+class RQBottleneck(nn.Module):
+    """Residual quantization of depth D (reference `quantize_rqvae.py:149`):
+    quantize z, subtract, quantize the residual, ... ; output is the sum of
+    the selected codes, codes shape (B, H, W, D)."""
+
+    latent_shape: Sequence[int] = (8, 8, 256)
+    code_shape: Sequence[int] = (8, 8, 4)
+    n_embed: int = 1024
+    decay: float = 0.99
+    shared_codebook: bool = True
+    restart_unused_codes: bool = True
+    commitment_loss: str = "cumsum"
+    use_pallas: Optional[bool] = None
+
+    def setup(self):
+        depth = self.code_shape[-1]
+        dim = self.latent_shape[-1]
+        make = lambda name: VectorQuantizeEMA(
+            codebook_size=self.n_embed,
+            codebook_dim=dim,
+            decay=self.decay,
+            restart_unused_codes=self.restart_unused_codes,
+            use_pallas=self.use_pallas,
+            name=name,
+        )
+        if self.shared_codebook:
+            shared = make("codebook_shared")
+            self.codebooks = [shared] * depth
+        else:
+            self.codebooks = [make(f"codebook_{d}") for d in range(depth)]
+
+    def __call__(self, z, train: bool = False, **_):
+        depth = self.code_shape[-1]
+        residual = z
+        cumsum_raw = jnp.zeros_like(z)
+        codes = []
+        commit = 0.0
+        for d in range(depth):
+            q_st, _, (_, _, code) = self.codebooks[d](residual, train=train)
+            q_raw = jax.lax.stop_gradient(q_st)
+            residual = residual - q_raw
+            cumsum_raw = cumsum_raw + q_raw
+            codes.append(code)
+            # cumulative commitment: ||z - sg(sum_{<=d} q)||^2 at every depth
+            commit = commit + jnp.mean((z - cumsum_raw) ** 2)
+        commit = commit / depth
+        # one straight-through for the aggregate
+        out = z + (cumsum_raw - jax.lax.stop_gradient(z))
+        codes = jnp.stack(codes, axis=-1)  # (B, H, W, D)
+        return out, commit, (None, None, codes)
+
+    def get_codebook_entry(self, codes):
+        """codes: (B, H, W, D) -> summed embeddings (B, H, W, dim)."""
+        out = 0.0
+        for d in range(self.code_shape[-1]):
+            out = out + self.codebooks[d].get_codebook_entry(codes[..., d])
+        return out

@@ -1,0 +1,143 @@
+"""Legacy family: VQGAN baseline, quantizer variants, RQ bottleneck,
+sequence permuters, minGPT + fixed-length transformers."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamicvectorquantization_tpu.models.legacy_transformer import (
+    Labelator,
+    SOSProvider,
+    UncondTransformer,
+)
+from dynamicvectorquantization_tpu.models.vqgan import VQModel, RQModel
+from dynamicvectorquantization_tpu.models import sequence_permuters as sp
+from dynamicvectorquantization_tpu.nn.mingpt import GPT, sample_with_past
+from dynamicvectorquantization_tpu.ops.quantizers import (
+    GumbelQuantize,
+    RQBottleneck,
+    VectorQuantizer,
+)
+
+# resolution 16 with 3 levels (2 downsamples) -> 4x4 latent = 16 tokens
+DD = dict(
+    ch=16, ch_mult=[1, 2, 4], num_res_blocks=1, attn_resolutions=[4],
+    dropout=0.0, in_channels=3, resolution=16, z_channels=16,
+)
+
+
+def test_vector_quantizer_gradients_reach_codebook(rng):
+    vq = VectorQuantizer(n_e=16, e_dim=8, use_pallas=False)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 8))
+    variables = vq.init(rng, z)
+
+    def loss_fn(params):
+        zq, loss, _ = vq.apply({"params": params}, z)
+        return loss + jnp.mean(zq**2)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    assert float(jnp.abs(g["embedding"]).max()) > 0
+
+
+def test_gumbel_quantize(rng):
+    gq = GumbelQuantize(num_hiddens=8, embedding_dim=8, n_embed=16)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 8))
+    variables = gq.init({"params": rng, "gumbel": rng}, z)
+    zq, kl, (_, _, idx) = gq.apply(variables, z, train=True,
+                                   rngs={"gumbel": jax.random.PRNGKey(2)})
+    assert zq.shape == z.shape and idx.shape == (2, 4, 4)
+    assert np.isfinite(float(kl))
+
+
+def test_rq_bottleneck_roundtrip(rng):
+    rq = RQBottleneck(latent_shape=(4, 4, 8), code_shape=(4, 4, 3),
+                      n_embed=32, use_pallas=False)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 8))
+    variables = rq.init({"params": rng}, z)
+    out, commit, (_, _, codes) = rq.apply(variables, z)
+    assert out.shape == z.shape
+    assert codes.shape == (2, 4, 4, 3)
+    # deeper residual quantization reduces error vs single depth
+    emb = rq.apply(variables, codes, method="get_codebook_entry")
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(out), atol=1e-5)
+
+
+@pytest.mark.parametrize("cls", [sp.ZCurve, sp.Subsample, sp.SpiralOut,
+                                 sp.SpiralIn, sp.Random, sp.AlternateParsing])
+def test_sequence_permuter_roundtrip(cls):
+    perm = cls(H=8, W=8)
+    x = jnp.arange(2 * 64).reshape(2, 64)
+    y = perm(x)
+    back = perm(y, reverse=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+    assert not np.array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_mingpt_cached_sampling_matches_forward(rng):
+    gpt = GPT(vocab_size=32, block_size=32, n_layer=2, n_head=2, n_embd=16)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, 32)
+    variables = gpt.init({"params": rng}, tokens)
+    logits_full, _ = gpt.apply(variables, tokens)
+
+    cache = gpt.apply(variables, 2, 16, method="make_cache")
+    step_logits = []
+    for i in range(10):
+        lg, cache = gpt.apply(variables, tokens[:, i], cache, jnp.int32(i), method="step")
+        step_logits.append(lg)
+    got = np.stack([np.asarray(l) for l in step_logits], 1)
+    np.testing.assert_allclose(got, np.asarray(logits_full), rtol=1e-4, atol=1e-4)
+
+    out = sample_with_past(gpt, variables, tokens[:, :2], steps=5,
+                           rng=jax.random.PRNGKey(3), top_k=8)
+    assert out.shape == (2, 5)
+    assert (np.asarray(out) >= 0).all() and (np.asarray(out) < 32).all()
+
+
+@pytest.fixture(scope="module")
+def legacy_pipeline():
+    fs_cfg = {
+        "target": "models.stage1.vqgan.VQModel",
+        "params": {
+            "ddconfig": DD,
+            "lossconfig": None,
+            "n_embed": 32,
+            "embed_dim": 16,
+        },
+    }
+    model = UncondTransformer(
+        transformer_config={
+            "target": "modules.transformer.mingpt.GPT",
+            "params": {"vocab_size": 33, "block_size": 32, "n_layer": 2,
+                       "n_head": 2, "n_embd": 16},
+        },
+        first_stage_config=fs_cfg,
+        permuter_config={"target": "modules.transformer.permuter.ZCurve",
+                         "params": {"H": 4, "W": 4}},
+        sos_token=32,
+    )
+    fs_vars = model.first_stage_model.init(jax.random.PRNGKey(0))
+    variables = model.init(jax.random.PRNGKey(1), fs_vars)
+    return model, variables
+
+
+def test_legacy_uncond_transformer_forward_and_sample(legacy_pipeline):
+    model, variables = legacy_pipeline
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3), minval=-1, maxval=1)
+    logits, loss = model.forward(variables, x, x)
+    assert logits.shape == (2, 16, 33)
+    assert np.isfinite(float(loss))
+
+    c = model.encode_to_c(x)
+    sampled = model.sample(variables, c, steps=16, rng=jax.random.PRNGKey(3), top_k=16)
+    sampled = jnp.clip(sampled, 0, 31)
+    img = model.decode_to_img(variables, sampled, (2, 4, 4))
+    assert img.shape == (2, 16, 16, 3)
+
+
+def test_labelator_and_sos():
+    lab = Labelator(n_classes=10, threshold=100)
+    c, _, info = lab.encode(jnp.array([3, 7]))
+    np.testing.assert_array_equal(np.asarray(c).ravel(), [103, 107])
+    sos = SOSProvider(sos_token=42)
+    c, _, _ = sos.encode(jnp.zeros((3, 8, 8, 3)))
+    assert (np.asarray(c) == 42).all()
