@@ -20,6 +20,10 @@ TARGET_ALIASES = {
     "models.stage2_dynamic.dqtransformer_uncond_entropy.Dualformer": f"{_PKG}.models.dqtransformer.Dualformer",
     "models.stage2_dynamic.dqtransformer_class2_entropy.Dualformer": f"{_PKG}.models.dqtransformer.ClassCondDualformer",
     "models.stage2_dynamic.dqtransformer_class.Dualformer": f"{_PKG}.models.dqtransformer.ClassCondDualformer",
+    "models.stage2_dynamic.dqtransformer_t2i.Dualformer": f"{_PKG}.models.dqtransformer.T2IDualformer",
+    # ---- text encoders (t2i) ----
+    "modules.text_encoders.clip_text_encoder.CLIPTextEncoder": f"{_PKG}.nn.text_encoders.CLIPTextEncoder",
+    "modules.text_encoders.bert_text_encoder.BERTTextEncoder": f"{_PKG}.nn.text_encoders.BERTTextEncoder",
     # ---- dynamic modules ----
     "modules.dynamic_modules.EncoderDual.DualGrainEncoder": f"{_PKG}.nn.encoder_dual.DualGrainEncoder",
     "modules.dynamic_modules.EncoderTriple.TripleGrainEncoder": f"{_PKG}.nn.encoder_triple.TripleGrainEncoder",
@@ -45,6 +49,8 @@ TARGET_ALIASES = {
     "modules.losses.vqperceptual.VQLPIPSWithDiscriminator": f"{_PKG}.losses.vqperceptual.VQLPIPSWithDiscriminator",
     "modules.losses.vqperceptual.DummyLoss": f"{_PKG}.losses.vqperceptual.DummyLoss",
     "modules.discriminator.model.NLayerDiscriminator": f"{_PKG}.nn.discriminator.NLayerDiscriminator",
+    "modules.discriminator.stylegan.Discriminator": f"{_PKG}.nn.stylegan_discriminator.StyleGANDiscriminator",
+    "modules.discriminator.stylegan_lucidrains.Discriminator": f"{_PKG}.nn.stylegan_discriminator.StyleGANDiscriminator",
     # ---- legacy stage-1 baselines ----
     "models.stage1.vqgan.VQModel": f"{_PKG}.models.vqgan.VQModel",
     "models.stage1.vqgan_multivq.VQModel": f"{_PKG}.models.vqgan.VQModel",

@@ -590,6 +590,36 @@ class Dualformer:
         )
 
 
+class T2IDualformer(Dualformer):
+    """Text-to-image variant (reference `dqtransformer_t2i.py:15-60`).
+
+    Faithful to the shipped reference: a frozen text encoder computes
+    features per caption and they are handed to StackGPT, whose forward
+    swallows them in ``**ignorekwargs`` (`stackgpt.py:175`) — i.e. the
+    shipped t2i model trains like the unconditional one while paying for
+    text encoding. Replicated + documented (QUIRKS.md); a cross-attention
+    consumer is future work, as it was for the reference.
+    """
+
+    def __init__(self, text_encoder_config=None, **kwargs):
+        super().__init__(**kwargs)
+        self.cond_stage_key = "caption"
+        self.cond_stage_mask_key = "mask"
+        if text_encoder_config is None:
+            from ..nn.text_encoders import HashTextEncoder
+
+            self.text_encoder = HashTextEncoder()
+        else:
+            self.text_encoder = instantiate_from_config(text_encoder_config)
+
+    def forward(self, variables, x, captions, train=False, rngs=None):
+        # conditioning prefixes still come from the SOS provider; text
+        # features are computed (and ignored downstream, as in the reference)
+        text_features, text_mask = self.text_encoder.encode_text(captions)
+        del text_features, text_mask
+        return super().forward(variables, x, x, train=train, rngs=rngs)
+
+
 class ClassCondDualformer(Dualformer):
     """Class-conditional DQ-Transformer (reference
     `dqtransformer_class2_entropy.py`): class tokens (label + threshold,

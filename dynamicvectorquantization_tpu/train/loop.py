@@ -41,6 +41,7 @@ class Trainer:
         mesh=None,
         max_steps_per_epoch: Optional[int] = None,
         resume: bool = True,
+        profile_steps: int = 0,
     ):
         self.logdir = logdir
         self.max_epochs = max_epochs
@@ -50,9 +51,24 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.max_steps_per_epoch = max_steps_per_epoch
         self.resume = resume
+        self.profile_steps = profile_steps
+        self._profiling = False
         os.makedirs(logdir, exist_ok=True)
         self.metrics = MetricLogger(logdir)
         self.images = ImageLogger(logdir, batch_frequency=image_log_frequency)
+
+    def _maybe_profile(self, global_step: int):
+        """Capture a jax.profiler trace of the first `profile_steps` steps
+        (the reference has no profiling story — SURVEY.md §5)."""
+        if not self.profile_steps:
+            return
+        if global_step == 0 and not self._profiling:
+            jax.profiler.start_trace(os.path.join(self.logdir, "profile"))
+            self._profiling = True
+        elif self._profiling and global_step >= self.profile_steps:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            print(f"profiler trace written to {self.logdir}/profile")
 
     # -------------------------------------------------------------- ckpt io
     def _ckpt_manager(self, monitor: Optional[str]):
@@ -124,6 +140,7 @@ class Trainer:
                     break
                 x = model.get_input(batch, model.image_key)
                 rng, sub = jax.random.split(rng)
+                self._maybe_profile(int(state.step))
                 state, logs = step_fn(state, x, sub)
                 gs = int(state.step)
                 if bi % self.log_every == 0:
@@ -230,6 +247,7 @@ class Trainer:
                 else:
                     c = x
                 rng, sub = jax.random.split(rng)
+                self._maybe_profile(int(state.step))
                 state, logs = step_fn(state, variables, x, c, sub)
                 if bi % self.log_every == 0:
                     self.metrics.log(int(state.step),

@@ -43,6 +43,9 @@ def get_parser():
     p.add_argument("--max_steps_per_epoch", type=int, default=None,
                    help="cap steps (smoke runs)")
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace of the first N train "
+                        "steps to <logdir>/profile (view with Perfetto/XProf)")
     return p
 
 
@@ -116,6 +119,7 @@ def main():
         mesh=mesh,
         max_steps_per_epoch=opt.max_steps_per_epoch,
         resume=bool(opt.resume),
+        profile_steps=opt.profile_steps,
     )
     with mesh:
         trainer.fit(model, data)
