@@ -53,7 +53,11 @@ TARGET_ALIASES = {
     "modules.discriminator.stylegan_lucidrains.Discriminator": f"{_PKG}.nn.stylegan_discriminator.StyleGANDiscriminator",
     # ---- legacy stage-1 baselines ----
     "models.stage1.vqgan.VQModel": f"{_PKG}.models.vqgan.VQModel",
-    "models.stage1.vqgan_multivq.VQModel": f"{_PKG}.models.vqgan.VQModel",
+    "models.stage1.vqgan_multivq.VQModel": f"{_PKG}.models.vqgan.MultiVQModel",
+    "modules.vector_quantization.quantize2_list.VectorQuantize2": f"{_PKG}.ops.vq.VectorQuantizeEMA",
+    "modules.vqvae.quantize2.VectorQuantize2": f"{_PKG}.ops.vq.VectorQuantizeEMA",
+    "modules.diffusionmodules.model.Encoder": f"{_PKG}.nn.vqgan_codec.VQGANEncoder",
+    "modules.diffusionmodules.model.Decoder": f"{_PKG}.nn.vqgan_codec.VQGANDecoder",
     "models.stage1.rqvae.RQModel": f"{_PKG}.models.vqgan.RQModel",
     "models.stage1.rqvae.VQModel": f"{_PKG}.models.vqgan.RQModel",
     # ---- legacy quantizers ----

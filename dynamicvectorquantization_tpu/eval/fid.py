@@ -49,9 +49,21 @@ def compute_statistics(batches: Iterable[np.ndarray], feature_fn: Callable):
 
 
 def inception_feature_fn(weights_path: str | None = None):
-    """InceptionV3 pool3 (2048-d) features via torchvision, CPU."""
+    """InceptionV3 pool3 (2048-d) features via torchvision, CPU.
+
+    torchvision is optional in this image; without it (or without local
+    weights) this raises with instructions instead of producing meaningless
+    random-feature FID."""
     import torch
-    from torchvision.models import Inception_V3_Weights, inception_v3
+
+    try:
+        from torchvision.models import inception_v3
+    except ImportError as e:
+        raise ImportError(
+            "FID feature extraction needs torchvision (not in this image). "
+            "Install it or plug a custom feature_fn into fid_between()/"
+            "compute_statistics()."
+        ) from e
 
     weights_path = weights_path or os.environ.get("DQVQ_INCEPTION_WEIGHTS")
     model = inception_v3(weights=None, aux_logits=True, init_weights=False)

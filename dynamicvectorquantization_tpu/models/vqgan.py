@@ -101,6 +101,34 @@ class VQModel(_VQModelBundle):
         return {"inputs": np.asarray(x), "reconstructions": np.asarray(xrec)}
 
 
+class MultiVQModel(_VQModelBundle):
+    """Multi-VQ VQGAN (reference `models/stage1/vqgan_multivq.py:16`):
+    structurally the single-grain codec with an encoderconfig/decoderconfig
+    pair and a list-returning quantizer config."""
+
+    def __init__(self, encoderconfig, decoderconfig, lossconfig, vqconfig,
+                 quant_before_dim, quant_after_dim, ckpt_path=None,
+                 ignore_keys=(), image_key="image", monitor=None,
+                 warmup_epochs=0, loss_with_epoch=True,
+                 scheduler_type="linear-warmup_cosine-decay", **kwargs):
+        ddconfig = dict(encoderconfig.get("params") or {})
+        self.net = VQGANNet(ddconfig=ddconfig, vqconfig=vqconfig,
+                            embed_dim=quant_after_dim)
+        self.loss = instantiate_from_config(lossconfig) if lossconfig else None
+        self.image_key = image_key
+        self.monitor = monitor
+        self.warmup_epochs = warmup_epochs
+        self.loss_with_epoch = loss_with_epoch
+        self.scheduler_type = scheduler_type
+        self.ckpt_path = ckpt_path
+        self.ignore_keys = tuple(ignore_keys)
+        self.image_size = ddconfig.get("resolution", 256)
+        self.learning_rate = None
+        self.min_learning_rate = 0.0
+        self.steps_per_epoch = None
+        self.training_steps = None
+
+
 class RQModel(VQModel):
     """RQ-VAE baseline (reference `models/stage1/rqvae.py:42`): same codec with
     a residual-quantization bottleneck; code shape (B, H, W, depth)."""

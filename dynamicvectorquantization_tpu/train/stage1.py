@@ -52,10 +52,15 @@ class Stage1Trainer:
     """Builds optimizers + the jitted train/eval steps for a DQ-VAE bundle."""
 
     def __init__(self, model, learning_rate, min_learning_rate=0.0,
-                 warmup_steps=0, max_steps=1_000_000, scheduler_type=None):
+                 warmup_steps=0, max_steps=1_000_000, scheduler_type=None,
+                 remat=False):
         self.model = model
         self.net = model.net
         self.loss = model.loss
+        # remat=True rematerializes the AE forward during backward (keeps only
+        # matmul outputs), trading ~30% step FLOPs for large activation-memory
+        # savings at batch 30 x 256^2 (SURVEY.md: jax.checkpoint guidance)
+        self.remat = remat
         sched_type = scheduler_type or model.scheduler_type
         self.ae_schedule = make_schedule(
             sched_type, learning_rate, warmup_steps, max_steps, min_learning_rate
@@ -132,10 +137,19 @@ class Stage1Trainer:
         # ---------------- optimizer 0: autoencoder ----------------
         def ae_loss_fn(ae_params):
             net_vars = {"params": ae_params, "ema": state.ema}
-            (out, mut) = self.net.apply(
-                net_vars, x, train=True, return_pre_out=True,
-                rngs=rngs, mutable=["ema"],
-            )
+
+            def fwd(net_vars, x):
+                return self.net.apply(
+                    net_vars, x, train=True, return_pre_out=True,
+                    rngs=rngs, mutable=["ema"],
+                )
+
+            if self.remat:
+                fwd = jax.checkpoint(
+                    fwd,
+                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                )
+            (out, mut) = fwd(net_vars, x)
             (xrec, pre_out), qloss, grain_indices, gate, _ = out
             nll_loss, rec_loss, p_loss = self.loss.apply(
                 loss_vars, x, xrec, method="nll"

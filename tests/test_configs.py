@@ -19,7 +19,7 @@ def test_config_instantiates(path):
     model = instantiate_from_config(cfg["model"])
     assert model is not None
     # stage detection
-    if "stage2" in path:
+    if "stage2" in path or "dqtransformer" in os.path.basename(path):
         assert hasattr(model, "transformer") and hasattr(model, "sample_from_scratch")
         assert model.permuter is not None
     else:
