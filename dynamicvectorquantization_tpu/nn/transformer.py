@@ -23,13 +23,23 @@ from .init import normal_init
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # (L, B, H, T_max, hd)
-    v: jnp.ndarray
+    """Per-layer (k, v) tuples. Layers are kept as SEPARATE arrays (not one
+    stacked (L, ...) array): inside a lax.while_loop each per-layer
+    dynamic_update_slice then aliases its loop-carried buffer in place.
+    A stacked layout forced XLA to re-materialize the full multi-hundred-MB
+    cache every decode step (measured ~10ms/token at p6c18 geometry)."""
+
+    layers: tuple  # tuple of (k, v) pairs, each (B, H, T_max, hd)
 
     @classmethod
     def create(cls, num_layers, batch, num_heads, max_len, head_dim, dtype=jnp.float32):
-        shape = (num_layers, batch, num_heads, max_len, head_dim)
-        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        shape = (batch, num_heads, max_len, head_dim)
+        return cls(
+            tuple(
+                (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+                for _ in range(num_layers)
+            )
+        )
 
 
 def _flash_causal_attention(q, k, v, sm_scale):
@@ -178,11 +188,9 @@ class TransformerStack(nn.Module):
         cache_index=None,
         attn_bias=None,
     ):
-        new_k, new_v = [], []
+        new_layers = []
         for i in range(self.num_layers):
-            layer_cache = None
-            if cache is not None:
-                layer_cache = (cache.k[i], cache.v[i])
+            layer_cache = cache.layers[i] if cache is not None else None
             x, updated = Block(
                 self.n_embd,
                 self.n_head,
@@ -198,9 +206,6 @@ class TransformerStack(nn.Module):
                 attn_bias=attn_bias,
             )
             if updated is not None:
-                new_k.append(updated[0])
-                new_v.append(updated[1])
-        new_cache = None
-        if cache is not None:
-            new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v))
+                new_layers.append(updated)
+        new_cache = KVCache(tuple(new_layers)) if cache is not None else None
         return x, new_cache
