@@ -301,6 +301,119 @@ def convert_lpips_weights(vgg_sd=None, lin_sd=None):
     return params
 
 
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = np.asarray(v)
+    return out
+
+
+def export_dqvae_state_dict(variables: dict) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_dqvae_state_dict`: flax variables -> a reference-
+    style torch state_dict (numpy values; OIHW conv / (out,in) linear). Lets
+    models trained here be consumed by the reference repo, and provides the
+    converter round-trip test oracle."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv_back(w):
+        return np.transpose(w, (3, 2, 0, 1))  # HWIO -> OIHW
+
+    def lin_back(w):
+        return np.transpose(w, (1, 0))
+
+    for path, v in _flatten(variables.get("params", {})).items():
+        parts = list(path)
+        leaf = parts[-1]
+        # normalize leaf names
+        if leaf == "kernel":
+            tleaf = "weight"
+            tv = conv_back(v) if v.ndim == 4 else lin_back(v)
+        elif leaf == "scale":
+            tleaf, tv = "weight", v
+        elif leaf == "embedding":
+            tleaf, tv = "weight", v
+        else:
+            tleaf, tv = leaf, v
+
+        mods = parts[:-1]
+        # drop flax's GroupNorm wrapper level
+        mods = [m for m in mods if m != "GroupNorm_0"]
+        key = None
+        root = mods[0] if mods else ""
+        if root in ("quant_conv", "post_quant_conv"):
+            key = f"{root}.{tleaf}"
+        elif root == "encoder":
+            sub = mods[1]
+            import re as _re
+
+            if sub == "down" and mods[2] == "conv_in":  # conv_in in DownStack
+                key = f"encoder.conv_in.{tleaf}"
+            elif sub == "down":
+                m = _re.match(r"down_(\d+)_(block|attn|downsample)(?:_(\d+))?", mods[2])
+                i, kind, j = m.group(1), m.group(2), m.group(3)
+                rest = ".".join(mods[3:])
+                if kind == "downsample":
+                    key = f"encoder.down.{i}.downsample.{rest}.{tleaf}"
+                else:
+                    key = f"encoder.down.{i}.{kind}.{j}.{rest}.{tleaf}"
+            elif sub in ("head_coarse", "head_median", "head_fine"):
+                grain = sub.split("_")[1]
+                inner = mods[2]
+                inv = {"mid_block_1": "block_1", "mid_attn_1": "attn_1",
+                       "mid_block_2": "block_2"}
+                if inner in inv:
+                    rest = ".".join(mods[3:])
+                    key = f"encoder.mid_{grain}.{inv[inner]}.{rest}.{tleaf}"
+                elif inner == "norm_out":
+                    key = f"encoder.norm_out_{grain}.{tleaf}"
+                elif inner == "conv_out":
+                    key = f"encoder.conv_out_{grain}.{tleaf}"
+            elif sub == "router":
+                name = mods[2]
+                if name == "gate":
+                    key = f"encoder.router.gate.{tleaf}"
+                elif name in ("gate_0", "gate_2"):
+                    key = f"encoder.router.gate.{name.split('_')[1]}.{tleaf}"
+                else:
+                    key = f"encoder.router.{name}.{tleaf}"
+        elif root == "decoder":
+            sub = mods[1]
+            import re as _re
+
+            inv_mid = {"mid_block_1": "block_1", "mid_attn_1": "attn_1",
+                       "mid_block_2": "block_2"}
+            if sub in ("conv_in", "conv_out", "norm_out"):
+                key = f"decoder.{sub}.{tleaf}"
+            elif sub in inv_mid:
+                rest = ".".join(mods[2:])
+                key = f"decoder.mid.{inv_mid[sub]}.{rest}.{tleaf}"
+            elif sub == "position_bias_fourier":
+                key = f"decoder.position_bias_fourier.lff.ffm.conv.{tleaf}"
+            elif sub == "position_bias_learned":
+                key = f"decoder.position_bias_learned.{mods[2]}.{tleaf}"
+            else:
+                m = _re.match(r"up_(\d+)_(block|attn|upsample)(?:_(\d+))?", sub)
+                i, kind, j = m.group(1), m.group(2), m.group(3)
+                rest = ".".join(mods[2:])
+                if kind == "upsample":
+                    key = f"decoder.up.{i}.upsample.{rest}.{tleaf}"
+                else:
+                    key = f"decoder.up.{i}.{kind}.{j}.{rest}.{tleaf}"
+        if key is None:
+            raise KeyError(f"unmapped export path {path}")
+        sd[key] = tv
+
+    ema = variables.get("ema", {}).get("quantize", {})
+    if ema:
+        sd["quantize.codebook.weight"] = np.asarray(ema["codebook"])
+        sd["quantize.codebook.cluster_size_ema"] = np.asarray(ema["cluster_size_ema"])
+        sd["quantize.codebook.embed_ema"] = np.asarray(ema["embed_ema"])
+    return sd
+
+
 def load_dqvae_checkpoint(path: str) -> dict:
     """Reference stage-1 .ckpt -> flax variables for DQVAENet."""
     return convert_dqvae_state_dict(load_torch_state_dict(path))
