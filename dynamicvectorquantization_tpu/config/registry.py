@@ -69,6 +69,8 @@ TARGET_ALIASES = {
     "modules.vector_quantization.quantize_rqvae.RQBottleneck": f"{_PKG}.ops.quantizers.RQBottleneck",
     # ---- legacy stage-2 (minGPT family) ----
     "modules.transformer.mingpt.GPT": f"{_PKG}.nn.mingpt.GPT",
+    "modules.transformer.stacked_mingpt.StackedPositionGPT": f"{_PKG}.nn.stacked_mingpt.StackedPositionGPT",
+    "modules.vector_quantization.quantize_lucidrains.VectorQuantize": f"{_PKG}.ops.quantize_lucidrains.LucidrainsVectorQuantize",
     "models.stage2.uncond_transformer.UncondTransformer": f"{_PKG}.models.legacy_transformer.UncondTransformer",
     "models.stage2.uncond_transformer.Net2NetTransformer": f"{_PKG}.models.legacy_transformer.UncondTransformer",
     "models.stage2.class_transformer.ClassTransformer": f"{_PKG}.models.legacy_transformer.ClassTransformer",

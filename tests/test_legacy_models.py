@@ -141,3 +141,48 @@ def test_labelator_and_sos():
     sos = SOSProvider(sos_token=42)
     c, _, _ = sos.encode(jnp.zeros((3, 8, 8, 3)))
     assert (np.asarray(c) == 42).all()
+
+
+def test_lucidrains_quantizer_kmeans_and_cosine(rng):
+    import jax.numpy as jnp
+    from dynamicvectorquantization_tpu.ops.quantize_lucidrains import (
+        LucidrainsVectorQuantize,
+    )
+
+    for cosine in (False, True):
+        vq = LucidrainsVectorQuantize(
+            codebook_size=16, dim=8, use_cosine_sim=cosine, use_pallas=False,
+            kmeans_iters=3,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 8))
+        variables = vq.init({"params": rng, "vq": rng}, x)
+        (xq, commit, (_, _, code)), mut = vq.apply(
+            variables, x, train=True, mutable=["ema"],
+            rngs={"vq": jax.random.PRNGKey(2)},
+        )
+        assert xq.shape == x.shape and code.shape == (2, 4, 4)
+        assert bool(mut["ema"]["initted"])
+        assert np.isfinite(float(commit))
+        # kmeans init replaced the random-normal codebook on the first batch
+        assert not np.allclose(
+            np.asarray(variables["ema"]["embed"]), np.asarray(mut["ema"]["embed"])
+        )
+        _, commit2, _ = vq.apply({**variables, "ema": mut["ema"]}, x)
+        assert np.isfinite(float(commit2))
+
+
+def test_stacked_position_gpt(rng):
+    import jax.numpy as jnp
+    from dynamicvectorquantization_tpu.nn.stacked_mingpt import StackedPositionGPT
+
+    gpt = StackedPositionGPT(vocab_size=20, position_size=18, block_size=32,
+                             position_layer=2, value_layer=2, n_head=2, n_embd=16)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (2, 9), 0, 20)
+    pos = jax.random.randint(jax.random.PRNGKey(2), (2, 9), 0, 18)
+    variables = gpt.init({"params": rng}, idx, pos)
+    out = gpt.apply(variables, idx, pos, idx_target=idx[:, 1:], pos_idx_target=pos[:, 1:])
+    assert np.isfinite(float(out["position_loss"]))
+    assert np.isfinite(float(out["value_loss"]))
+    logits = gpt.apply(variables, idx, pos)
+    assert logits["position_logits"].shape == (2, 8, 18)
+    assert logits["value_logits"].shape == (2, 8, 20)
