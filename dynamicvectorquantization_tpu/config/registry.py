@@ -70,6 +70,9 @@ TARGET_ALIASES = {
     # ---- legacy stage-2 (minGPT family) ----
     "modules.transformer.mingpt.GPT": f"{_PKG}.nn.mingpt.GPT",
     "modules.transformer.stacked_mingpt.StackedPositionGPT": f"{_PKG}.nn.stacked_mingpt.StackedPositionGPT",
+    "modules.transformer.position_aware_mingpt.PositionAwareGPT": f"{_PKG}.nn.vit.PositionAwareGPT",
+    "modules.transformer.vit.VisionTransformerEncoder": f"{_PKG}.nn.vit.VisionTransformerEncoder",
+    "modules.transformer.vit.VisionTransformerDecoder": f"{_PKG}.nn.vit.VisionTransformerDecoder",
     "modules.vector_quantization.quantize_lucidrains.VectorQuantize": f"{_PKG}.ops.quantize_lucidrains.LucidrainsVectorQuantize",
     "models.stage2.uncond_transformer.UncondTransformer": f"{_PKG}.models.legacy_transformer.UncondTransformer",
     "models.stage2.uncond_transformer.Net2NetTransformer": f"{_PKG}.models.legacy_transformer.UncondTransformer",

@@ -12,7 +12,6 @@ benchmarks.
 """
 from __future__ import annotations
 
-import bisect
 import os
 from typing import Any, Mapping, Optional
 

@@ -32,8 +32,7 @@ bottom-right coarse position (index 255) can never be sampled.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Mapping, NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

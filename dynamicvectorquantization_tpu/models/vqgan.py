@@ -10,7 +10,7 @@ All expose the same bundle API as the dynamic models (`models/dqvae.py`), so
 """
 from __future__ import annotations
 
-from typing import Any, Mapping, Optional, Sequence
+from typing import Any, Mapping
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from .blocks import AttnBlock, GroupNorm32, ResnetBlock, Upsample, nonlinearity
 from .fourier import FourierPositionEmbedding, PositionEmbedding2DLearned

@@ -30,8 +30,6 @@ full-prefix recompute per sampled token.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

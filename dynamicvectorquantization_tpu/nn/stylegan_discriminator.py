@@ -7,8 +7,6 @@ tricks; plain convs with normal init as the lucidrains variant uses).
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -85,7 +85,7 @@ class LucidrainsVectorQuantize(nn.Module):
         )
 
     def __call__(self, x, train: bool = False, **_):
-        from .vq_pallas import nearest_codes_with_stats, nearest_codes
+        from .vq_pallas import nearest_codes
 
         flat = x.reshape(-1, x.shape[-1])
         codebook = self.embed.value

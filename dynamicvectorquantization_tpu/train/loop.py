@@ -11,14 +11,14 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..data.pipeline import device_prefetch
-from ..parallel.mesh import make_mesh, batch_sharding, replicated
+from ..parallel.mesh import make_mesh, batch_sharding
 from ..utils.logging import ImageLogger, MetricLogger
 from ..utils import viz
 from .stage1 import Stage1Trainer

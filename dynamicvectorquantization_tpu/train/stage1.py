@@ -19,7 +19,6 @@ inserts the gradient/EMA all-reduces over ICI.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

@@ -186,3 +186,32 @@ def test_stacked_position_gpt(rng):
     logits = gpt.apply(variables, idx, pos)
     assert logits["position_logits"].shape == (2, 8, 18)
     assert logits["value_logits"].shape == (2, 8, 20)
+
+
+def test_vit_codec_and_position_aware_gpt(rng):
+    from dynamicvectorquantization_tpu.nn.vit import (
+        PositionAwareGPT,
+        VisionTransformerDecoder,
+        VisionTransformerEncoder,
+    )
+
+    enc = VisionTransformerEncoder(image_size=32, patch_size=8, embed_dim=16,
+                                   depth=2, num_heads=2)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3), minval=-1, maxval=1)
+    ev = enc.init(rng, x)
+    z = enc.apply(ev, x)
+    assert z.shape == (2, 4, 4, 16)
+
+    dec = VisionTransformerDecoder(image_size=32, patch_size=8, embed_dim=16,
+                                   depth=2, num_heads=2)
+    dv = dec.init(rng, z)
+    y = dec.apply(dv, z)
+    assert y.shape == (2, 32, 32, 3)
+
+    gpt = PositionAwareGPT(vocab_size=20, position_size=16, block_size=32,
+                           n_layer=2, n_head=2, n_embd=16)
+    idx = jax.random.randint(jax.random.PRNGKey(2), (2, 9), 0, 20)
+    pos = jax.random.randint(jax.random.PRNGKey(3), (2, 9), 0, 16)
+    gv = gpt.init({"params": rng}, idx, pos)
+    vl, pl = gpt.apply(gv, idx, pos)
+    assert vl.shape == (2, 9, 20) and pl.shape == (2, 9, 16)
