@@ -34,12 +34,7 @@ class _OrderPermuter:
 
 class Identity(_OrderPermuter):
     def __init__(self, H=None, W=None, **_):
-        if H is None:
-            self._identity = True
-            self.order = None
-        else:
-            super().__init__(np.arange(H * W))
-            self._identity = False
+        pass  # no order table needed
 
     def forward(self, x, reverse: bool = False):
         return x  # raster order is the identity
