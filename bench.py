@@ -25,6 +25,9 @@ TARGET_MULTIPLE = 5.0
 
 
 def main():
+    from dynamicvectorquantization_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
+
     import jax
     import jax.numpy as jnp
 

@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from dynamicvectorquantization_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
+
     import jax
     import jax.numpy as jnp
 

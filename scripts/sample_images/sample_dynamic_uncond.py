@@ -12,6 +12,9 @@ from scripts.sample_val.sample_dynamic_uncond import get_parser, load_model_and_
 
 
 def main():
+    from dynamicvectorquantization_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
+
     opt = get_parser().parse_args()
     import jax
     import jax.numpy as jnp

@@ -64,6 +64,9 @@ def load_model_and_variables(yaml_path, model_path, seed=0):
 
 
 def main():
+    from dynamicvectorquantization_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
+
     opt = get_parser().parse_args()
     import jax
     import jax.numpy as jnp

@@ -13,6 +13,9 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
 
 
 def main():
+    from dynamicvectorquantization_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
+
     p = argparse.ArgumentParser()
     p.add_argument("--yaml_path", type=str, required=True)
     p.add_argument("--model_path", type=str, default=None)

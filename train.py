@@ -50,6 +50,9 @@ def get_parser():
 
 
 def main():
+    from dynamicvectorquantization_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
+
     parser = get_parser()
     opt, unknown = parser.parse_known_args()
 
