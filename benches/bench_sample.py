@@ -39,9 +39,17 @@ def main():
 
     model = instantiate_from_config(cfg["model"])
     batch = int(os.environ.get("DQVQ_BENCH_SAMPLE_BATCH", "8"))
+    dtype = os.environ.get("DQVQ_BENCH_SAMPLE_DTYPE", "bfloat16")
 
     fs_vars = model.first_stage_model.init(jax.random.PRNGKey(0))
     variables = model.init(jax.random.PRNGKey(1), fs_vars)
+    if dtype == "bfloat16":
+        # decode is HBM-bound (cache reads + weight streaming): bf16
+        # params/caches halve the traffic
+        variables["transformer"] = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            variables["transformer"],
+        )
 
     @jax.jit
     def sample(variables, rng):

@@ -394,8 +394,14 @@ class Dualformer:
         t_max = lc + lf
         p = self.fine_position_size
 
+        # cache dtype follows the (possibly bf16-cast) transformer params:
+        # decode is HBM-bound on cache reads + weight streaming, so bf16
+        # params+caches roughly double generation throughput
+        param_dtype = jax.tree_util.tree_leaves(
+            variables["transformer"]["params"]
+        )[0].dtype
         pos_cache, content_cache = self._apply_transformer(
-            variables, "make_caches", b, t_max
+            variables, "make_caches", b, t_max, param_dtype
         )
 
         coarse_content = jnp.full((b, lc), self.content_pad_code, jnp.int32)

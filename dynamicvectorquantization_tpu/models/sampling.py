@@ -46,7 +46,7 @@ def sample_from_logits(
 ):
     """temperature -> (ban masks applied by caller) -> top_k -> softmax ->
     top_p renormalize -> categorical / argmax. Returns (B,) int32."""
-    logits = logits / temperature
+    logits = logits.astype(jnp.float32) / temperature
     logits = top_k_logits(logits, top_k)
     probs = jax.nn.softmax(logits, axis=-1)
     probs = top_p_probs(probs, top_p)

@@ -207,11 +207,11 @@ class StackGPT(nn.Module):
         }
 
     # ------------------------------------------------------------ decoding
-    def make_caches(self, batch: int, max_len: int):
+    def make_caches(self, batch: int, max_len: int, dtype=jnp.float32):
         hd = self.n_embd // self.n_head
         return (
-            KVCache.create(self.position_layer, batch, self.n_head, max_len, hd),
-            KVCache.create(self.content_layer, batch, self.n_head, max_len, hd),
+            KVCache.create(self.position_layer, batch, self.n_head, max_len, hd, dtype),
+            KVCache.create(self.content_layer, batch, self.n_head, max_len, hd, dtype),
         )
 
     def embed_input_token(self, content_tok, pos_tok, seg_tok, index, is_fine: bool):

@@ -154,6 +154,47 @@ def nearest_codes_xla(x: jnp.ndarray, codebook: jnp.ndarray):
     return idx, jnp.take(codebook, idx, axis=0)
 
 
+# The kernel outputs are piecewise-constant in (x, codebook): argmin indices,
+# gathered codes, and count statistics all have zero gradient almost
+# everywhere (the straight-through estimator lives in the CALLER, ops/vq.py).
+# Declaring that with custom_vjp also keeps jax.grad / jax.checkpoint from
+# trying to trace the Pallas kernel under AD transforms (which fails).
+
+
+@jax.custom_vjp
+def _pallas_nearest_infer(x, codebook):
+    return _pallas_nearest(x, codebook, with_stats=False)
+
+
+def _pallas_nearest_infer_fwd(x, codebook):
+    return _pallas_nearest_infer(x, codebook), (x, codebook)
+
+
+def _pallas_nearest_infer_bwd(res, _g):
+    x, codebook = res
+    return jnp.zeros_like(x), jnp.zeros_like(codebook)
+
+
+_pallas_nearest_infer.defvjp(_pallas_nearest_infer_fwd, _pallas_nearest_infer_bwd)
+
+
+@jax.custom_vjp
+def _pallas_nearest_train(x, codebook):
+    return _pallas_nearest(x, codebook, with_stats=True)
+
+
+def _pallas_nearest_train_fwd(x, codebook):
+    return _pallas_nearest_train(x, codebook), (x, codebook)
+
+
+def _pallas_nearest_train_bwd(res, _g):
+    x, codebook = res
+    return jnp.zeros_like(x), jnp.zeros_like(codebook)
+
+
+_pallas_nearest_train.defvjp(_pallas_nearest_train_fwd, _pallas_nearest_train_bwd)
+
+
 def nearest_codes(x: jnp.ndarray, codebook: jnp.ndarray, use_pallas: bool | None = None):
     """Nearest codebook entry per row of x.
 
@@ -167,7 +208,9 @@ def nearest_codes(x: jnp.ndarray, codebook: jnp.ndarray, use_pallas: bool | None
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        return _pallas_nearest(x.astype(jnp.float32), codebook.astype(jnp.float32), False)
+        return _pallas_nearest_infer(
+            x.astype(jnp.float32), codebook.astype(jnp.float32)
+        )
     return nearest_codes_xla(x, codebook)
 
 
@@ -178,7 +221,9 @@ def nearest_codes_with_stats(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        return _pallas_nearest(x.astype(jnp.float32), codebook.astype(jnp.float32), True)
+        return _pallas_nearest_train(
+            x.astype(jnp.float32), codebook.astype(jnp.float32)
+        )
     idx, xq = nearest_codes_xla(x, codebook)
     k = codebook.shape[0]
     embed_sum = jax.ops.segment_sum(x, idx, num_segments=k)

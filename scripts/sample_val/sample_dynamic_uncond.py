@@ -54,12 +54,25 @@ def load_model_and_variables(yaml_path, model_path, seed=0):
     else:
         fs_vars = model.first_stage_model.init(jax.random.PRNGKey(seed))
         variables = model.init(jax.random.PRNGKey(seed + 1), fs_vars)
-        if model_path:  # orbax
+        if model_path:  # orbax (Stage2State saved by train/loop.py)
             import orbax.checkpoint as ocp
 
-            state = ocp.StandardCheckpointer().restore(os.path.abspath(model_path))
-            if "params" in state:
+            path = os.path.abspath(model_path)
+            if os.path.isdir(path) and not os.path.exists(
+                os.path.join(path, "_METADATA")
+            ):
+                steps = sorted(
+                    (d for d in os.listdir(path) if d.isdigit()), key=int
+                )
+                if steps:
+                    path = os.path.join(path, steps[-1])
+                if os.path.exists(os.path.join(path, "default", "_METADATA")):
+                    path = os.path.join(path, "default")
+            state = ocp.StandardCheckpointer().restore(path)
+            if isinstance(state, dict) and "params" in state:
                 variables["transformer"]["params"] = state["params"]
+            elif isinstance(state, (list, tuple)):
+                variables["transformer"]["params"] = state[0]
     return model, variables
 
 
