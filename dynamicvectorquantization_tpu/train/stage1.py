@@ -52,13 +52,18 @@ class Stage1Trainer:
 
     def __init__(self, model, learning_rate, min_learning_rate=0.0,
                  warmup_steps=0, max_steps=1_000_000, scheduler_type=None,
-                 remat=False):
+                 remat=None):
         self.model = model
         self.net = model.net
         self.loss = model.loss
-        # remat=True rematerializes the AE forward during backward (keeps only
-        # matmul outputs), trading ~30% step FLOPs for large activation-memory
-        # savings at batch 30 x 256^2 (SURVEY.md: jax.checkpoint guidance)
+        # remat rematerializes the AE forward during backward (keeps only
+        # matmul outputs). On TPU at 256^2 production geometry this is not a
+        # tradeoff but a requirement: measured 33.2 img/s/chip WITH remat vs
+        # 1.27 without (activation memory pressure). Default: on for TPU.
+        if remat is None:
+            import jax as _jax
+
+            remat = _jax.default_backend() == "tpu"
         self.remat = remat
         sched_type = scheduler_type or model.scheduler_type
         self.ae_schedule = make_schedule(
