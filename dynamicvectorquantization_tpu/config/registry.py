@@ -95,6 +95,11 @@ TARGET_ALIASES = {
     "data.imagenet.ImageNetValidation": f"{_PKG}.data.datasets.ImageNetValidation",
     "data.faceshq.FFHQTrain": f"{_PKG}.data.datasets.FFHQTrain",
     "data.faceshq.FFHQValidation": f"{_PKG}.data.datasets.FFHQValidation",
+    "data.faceshq.CelebAHQTrain": f"{_PKG}.data.datasets.CelebAHQTrain",
+    "data.faceshq.CelebAHQValidation": f"{_PKG}.data.datasets.CelebAHQValidation",
+    "data.faceshq.FacesHQTrain": f"{_PKG}.data.datasets.FacesHQTrain",
+    "data.faceshq.FacesHQValidation": f"{_PKG}.data.datasets.FacesHQValidation",
+    "data.ffhq_lmdb.FFHQ_LMDB": f"{_PKG}.data.ffhq_lmdb.FFHQ_LMDB",
 }
 
 

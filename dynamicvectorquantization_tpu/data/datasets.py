@@ -131,6 +131,57 @@ class FFHQValidation(FileListDataset):
         super().__init__(files, [0] * len(files), T.ffhq_val_transform, int(size))
 
 
+class CelebAHQTrain(FileListDataset):
+    def __init__(self, size=256, root=None, **kwargs):
+        root = root or default_paths.celebahq_root()
+        files = _list_images(os.path.join(root, "train") if os.path.isdir(
+            os.path.join(root, "train")) else root)
+        super().__init__(files, [0] * len(files), T.ffhq_train_transform, int(size))
+
+
+class CelebAHQValidation(FileListDataset):
+    def __init__(self, size=256, root=None, **kwargs):
+        root = root or default_paths.celebahq_root()
+        val_dir = os.path.join(root, "val")
+        files = _list_images(val_dir if os.path.isdir(val_dir) else root)
+        super().__init__(files, [0] * len(files), T.ffhq_val_transform, int(size))
+
+
+class _Concat:
+    """Concatenation of datasets (reference ConcatDatasetWithIndex /
+    FacesHQ = CelebA-HQ + FFHQ)."""
+
+    def __init__(self, *datasets):
+        self.datasets = [d for d in datasets if len(d) > 0] or list(datasets)
+        self._offsets = []
+        off = 0
+        for d in self.datasets:
+            self._offsets.append(off)
+            off += len(d)
+        self._len = off
+
+    def __len__(self):
+        return self._len
+
+    def __getitem__(self, i, rng=None):
+        for d, off in zip(reversed(self.datasets), reversed(self._offsets)):
+            if i >= off:
+                return d.__getitem__(i - off, rng=rng)
+        raise IndexError(i)
+
+
+class FacesHQTrain(_Concat):
+    """CelebA-HQ + FFHQ train (reference `data/faceshq.py:155`)."""
+
+    def __init__(self, size=256, **kwargs):
+        super().__init__(CelebAHQTrain(size=size), FFHQTrain(size=size))
+
+
+class FacesHQValidation(_Concat):
+    def __init__(self, size=256, **kwargs):
+        super().__init__(CelebAHQValidation(size=size), FFHQValidation(size=size))
+
+
 class SyntheticDataset:
     """Deterministic random images — tests and benchmarks without data on disk."""
 
