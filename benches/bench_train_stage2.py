@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Stage-2 (DQ-Transformer) training-step throughput at production geometry.
+
+Full p6c18 StackGPT over a frozen full-size DQ-VAE: frozen encode + permuter
+pack + 24-layer forward/backward + AdamW. Sequence capacity defaults to the
+r=0.5 regime (coarse 161 / fine 645 incl. prefix, ~808 tokens).
+
+Env: DQVQ_BENCH_S2_BATCH (default 8), DQVQ_BENCH_S2_ITERS (default 3),
+DQVQ_BENCH_S2_FLASH=1 enables the Pallas flash-attention training path.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from dynamicvectorquantization_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dynamicvectorquantization_tpu.config.yaml_config import load_config
+    from dynamicvectorquantization_tpu.utils.instantiate import instantiate_from_config
+    from dynamicvectorquantization_tpu.train.stage2 import Stage2Trainer
+
+    batch = int(os.environ.get("DQVQ_BENCH_S2_BATCH", "8"))
+    iters = int(os.environ.get("DQVQ_BENCH_S2_ITERS", "3"))
+    use_flash = os.environ.get("DQVQ_BENCH_S2_FLASH", "0") == "1"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config([os.path.join(repo, "configs/stage2/uncond_imagenet_p6c18.yml")])
+    params = cfg["model"]["params"]
+    params["first_stage_config"]["params"]["ckpt_path"] = None
+    params["permuter_config"]["params"]["coarse_max_len"] = 160
+    params["permuter_config"]["params"]["fine_max_len"] = 644
+    params["transformer_config"]["params"]["use_flash_attention"] = use_flash
+
+    model = instantiate_from_config(cfg["model"])
+    trainer = Stage2Trainer(model, learning_rate=5e-4, warmup_steps=0, max_steps=10_000)
+
+    fs_vars = model.first_stage_model.init(jax.random.PRNGKey(0))
+    variables = model.init(jax.random.PRNGKey(1), fs_vars)
+    state = trainer.init_state(variables)
+
+    x = jax.random.uniform(jax.random.PRNGKey(2), (batch, 256, 256, 3),
+                           minval=-1, maxval=1)
+    step = jax.jit(trainer.train_step, donate_argnums=(0,))
+
+    t0 = time.perf_counter()
+    state, logs = step(state, variables, x, x, jax.random.PRNGKey(3))
+    float(logs["train_loss"])
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, logs = step(state, variables, x + jnp.float32(i) * 1e-8, x,
+                           jax.random.PRNGKey(4 + i))
+    float(logs["train_loss"])
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    print(json.dumps({
+        "metric": "dqtransformer_train_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "config": {"batch": batch, "flash": use_flash,
+                   "loss": round(float(logs["train_loss"]), 4)},
+    }))
+
+
+if __name__ == "__main__":
+    main()

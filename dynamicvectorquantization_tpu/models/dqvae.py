@@ -96,10 +96,6 @@ class DQVAENet(nn.Module):
             return_pre_out=return_pre_out,
         )
 
-    def decode_tail(self, pre_out):
-        """Final conv only, for adaptive-disc-weight VJPs (see decoder docs)."""
-        return self.decoder.conv_out(pre_out) if hasattr(self.decoder, "conv_out") else None
-
     def __call__(self, x, train: bool = False, return_pre_out: bool = False):
         quant, diff, info, grain_indices, gate, x_entropy = self.encode(x, train=train)
         dec = self.decode(

@@ -85,22 +85,24 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------ fit
-    def fit(self, model, data):
+    def fit(self, model, data, eval_only: bool = False):
         train_loader = data.train_dataloader(seed=self.seed)
         steps_per_epoch = len(train_loader)
         if self.max_steps_per_epoch:
             steps_per_epoch = min(steps_per_epoch, self.max_steps_per_epoch)
         # reference train.py:243-245
         model.steps_per_epoch = steps_per_epoch
-        model.training_steps = steps_per_epoch * self.max_epochs
+        model.training_steps = max(steps_per_epoch * self.max_epochs, 1)
 
         warmup_steps = int(steps_per_epoch * (model.warmup_epochs or 0))
         if _is_stage2(model):
-            return self._fit_stage2(model, data, train_loader, warmup_steps)
-        return self._fit_stage1(model, data, train_loader, warmup_steps)
+            return self._fit_stage2(model, data, train_loader, warmup_steps,
+                                    eval_only=eval_only)
+        return self._fit_stage1(model, data, train_loader, warmup_steps,
+                                eval_only=eval_only)
 
     # --------------------------------------------------------------- stage 1
-    def _fit_stage1(self, model, data, train_loader, warmup_steps):
+    def _fit_stage1(self, model, data, train_loader, warmup_steps, eval_only=False):
         trainer = Stage1Trainer(
             model,
             learning_rate=model.learning_rate,
@@ -128,6 +130,12 @@ class Trainer:
         forward_fn = jax.jit(
             lambda st, x: model.net.apply({"params": st.ae_params, "ema": st.ema}, x)
         )
+
+        if eval_only:
+            val_metrics = self._validate_stage1(model, data, eval_fn, state)
+            self.metrics.log(int(state.step), val_metrics, "val")
+            print("eval: " + " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items()))
+            return state
 
         rng = jax.random.PRNGKey(self.seed + 1)
         start_epoch = int(state.epoch)
@@ -200,7 +208,7 @@ class Trainer:
         self.images.log(imgs, split, gs, epoch, bi)
 
     # --------------------------------------------------------------- stage 2
-    def _fit_stage2(self, model, data, train_loader, warmup_steps):
+    def _fit_stage2(self, model, data, train_loader, warmup_steps, eval_only=False):
         trainer = Stage2Trainer(
             model,
             learning_rate=model.learning_rate,
@@ -232,6 +240,12 @@ class Trainer:
                           in_shardings=(None, None, b_sh, b_sh, None),
                           donate_argnums=(0,))
         eval_fn = jax.jit(trainer.eval_step, in_shardings=(None, None, b_sh, b_sh))
+
+        if eval_only:
+            val_metrics = self._validate_stage2(model, data, eval_fn, state, variables)
+            self.metrics.log(int(state.step), val_metrics, "val")
+            print("eval: " + " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items()))
+            return state
 
         rng = jax.random.PRNGKey(self.seed + 1)
         start_epoch = int(state.epoch)

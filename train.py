@@ -124,8 +124,9 @@ def main():
         resume=bool(opt.resume),
         profile_steps=opt.profile_steps,
     )
+    do_train = str(opt.train).lower() not in ("false", "0", "no")
     with mesh:
-        trainer.fit(model, data)
+        trainer.fit(model, data, eval_only=not do_train)
 
 
 if __name__ == "__main__":
