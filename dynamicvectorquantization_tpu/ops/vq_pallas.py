@@ -24,11 +24,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Rows of x processed per grid step. 256 rows keeps the tile + (TN, K) scores
-# + one-hot + f32-precision matmul scratch + the (K, D) EMA accumulators
-# within the ~16MB VMEM scoped limit (512 rows overflowed by 216KB at
-# Precision.HIGHEST on v5e).
-_TILE_N = 256
+# Rows of x processed per grid step. 256 rows measured fastest on v5e for
+# both variants (512 fits VMEM for inference but benched ~12% slower — worse
+# grid pipelining; the TRAIN variant's (K, D) EMA accumulators overflow the
+# ~16MB scoped VMEM limit at 512 anyway).
+_TILE_N_INFER = 256
+_TILE_N_TRAIN = 256
 
 
 def _round_up(x: int, m: int) -> int:
@@ -84,13 +85,14 @@ def _vq_kernel_train(x_ref, cb_ref, cb_norm_ref, idx_ref, xq_ref, esum_ref, csiz
 def _pallas_nearest(x: jnp.ndarray, codebook: jnp.ndarray, with_stats: bool):
     n, d = x.shape
     k = codebook.shape[0]
-    n_pad = _round_up(max(n, 8), _TILE_N)
+    tile = _TILE_N_TRAIN if with_stats else _TILE_N_INFER
+    n_pad = _round_up(max(n, 8), tile)
     if n_pad != n:
         # Padding rows are zero vectors: they contribute nothing to embed_sum
         # (onehot.T @ 0 == 0) and a known constant to cluster_size (they all
         # land on argmin_k |c_k|^2), which is subtracted below.
         x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
-    grid = n_pad // _TILE_N
+    grid = n_pad // tile
 
     cb_norm = jnp.sum(codebook * codebook, axis=1)[None, :]  # (1, K)
 
@@ -99,8 +101,8 @@ def _pallas_nearest(x: jnp.ndarray, codebook: jnp.ndarray, with_stats: bool):
         jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((_TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_TILE_N, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     if with_stats:
         out_shapes += [
@@ -117,7 +119,7 @@ def _pallas_nearest(x: jnp.ndarray, codebook: jnp.ndarray, with_stats: bool):
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((_TILE_N, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
