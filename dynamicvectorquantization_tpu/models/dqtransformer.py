@@ -386,6 +386,13 @@ class Dualformer:
 
         Returns (coarse_content, fine_content, coarse_position, fine_position)
         WITHOUT the condition prefix (reference `:461-466`)."""
+        if not self.activate_sos_for_fine_sequence:
+            # the static-buffer sampler reserves slot 0 of the fine buffers
+            # for the fine prefix token; all shipped reference configs set
+            # activate_sos_for_fine_sequence=True
+            raise NotImplementedError(
+                "sample_from_scratch requires activate_sos_for_fine_sequence=True"
+            )
         b = c_coarse.shape[0]
         nc = self.permuter.coarse_max_len  # max sampled coarse tokens
         nf = self.permuter.fine_max_len
