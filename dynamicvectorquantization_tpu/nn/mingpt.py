@@ -73,6 +73,9 @@ class GPT(nn.Module):
     # --------------------------------------------------------------- decode
     def make_cache(self, batch: int, max_len: int):
         hd = self.n_embd // self.n_head
+        from .transformer import _DECODE_CHUNK
+
+        max_len = ((max_len + _DECODE_CHUNK - 1) // _DECODE_CHUNK) * _DECODE_CHUNK
         return KVCache.create(self.n_layer, batch, self.n_head, max_len, hd)
 
     def step(self, tok, cache: KVCache, index):

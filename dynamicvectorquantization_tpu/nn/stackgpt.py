@@ -209,6 +209,11 @@ class StackGPT(nn.Module):
     # ------------------------------------------------------------ decoding
     def make_caches(self, batch: int, max_len: int, dtype=jnp.float32):
         hd = self.n_embd // self.n_head
+        # round capacity to the decode-attention chunk so single-token steps
+        # read only the valid cache prefix (nn/transformer.py)
+        from .transformer import _DECODE_CHUNK
+
+        max_len = ((max_len + _DECODE_CHUNK - 1) // _DECODE_CHUNK) * _DECODE_CHUNK
         return (
             KVCache.create(self.position_layer, batch, self.n_head, max_len, hd, dtype),
             KVCache.create(self.content_layer, batch, self.n_head, max_len, hd, dtype),

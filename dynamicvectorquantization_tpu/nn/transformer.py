@@ -42,6 +42,48 @@ class KVCache(NamedTuple):
         )
 
 
+_DECODE_CHUNK = 256
+
+
+def _chunked_decode_attention(q, k_cache, v_cache, cache_index):
+    """Single-token decode attention reading only ceil((i+1)/CHUNK) cache
+    chunks with an online softmax — the full-cache einsum reads the entire
+    T_max cache every step, which dominates decode time (HBM-bound).
+    Exact (not approximate): masked positions contribute exp(-inf) = 0.
+
+    q: (B, H, 1, hd); caches: (B, H, T, hd) with T % _DECODE_CHUNK == 0.
+    """
+    b, h, t, hd = k_cache.shape
+    assert t % _DECODE_CHUNK == 0, t
+    scale = 1.0 / float(hd) ** 0.5
+    nchunks = cache_index // _DECODE_CHUNK + 1  # traced bound is fine
+
+    neg = jnp.finfo(jnp.float32).min
+
+    def body(ci, carry):
+        m, l, acc = carry
+        start = ci * _DECODE_CHUNK
+        k = jax.lax.dynamic_slice(k_cache, (0, 0, start, 0), (b, h, _DECODE_CHUNK, hd))
+        v = jax.lax.dynamic_slice(v_cache, (0, 0, start, 0), (b, h, _DECODE_CHUNK, hd))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+        pos = start + jnp.arange(_DECODE_CHUNK)
+        s = jnp.where(pos[None, None, None, :] <= cache_index, s, neg)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new[..., None])
+        l_new = l * alpha + jnp.sum(p, axis=-1)
+        acc_new = acc * alpha[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p.astype(v.dtype), v
+        ).astype(jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((b, h, 1), neg, jnp.float32)
+    l0 = jnp.zeros((b, h, 1), jnp.float32)
+    acc0 = jnp.zeros((b, h, 1, hd), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nchunks, body, (m0, l0, acc0))
+    return (acc / l[..., None]).astype(q.dtype)
+
+
 def _flash_causal_attention(q, k, v, sm_scale):
     """Pallas TPU flash attention (training path): pads seq to a block
     multiple; padded KEYS are never attended (causal + real queries < pad
@@ -102,12 +144,17 @@ class CausalSelfAttention(nn.Module):
             )
             new_cache = (k_cache, v_cache)
             t_max = k_cache.shape[2]
-            att = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache) / jnp.sqrt(hd).astype(x.dtype)
-            key_pos = jnp.arange(t_max)
-            valid = key_pos[None, None, None, :] <= cache_index
-            att = jnp.where(valid, att, jnp.finfo(att.dtype).min)
-            att = jax.nn.softmax(att, axis=-1)
-            y = jnp.einsum("bhqk,bhkd->bhqd", att, v_cache)
+            if t == 1 and t_max % _DECODE_CHUNK == 0:
+                y = _chunked_decode_attention(q, k_cache, v_cache, cache_index)
+            else:
+                att = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache) / jnp.sqrt(hd).astype(
+                    x.dtype
+                )
+                key_pos = jnp.arange(t_max)
+                valid = key_pos[None, None, None, :] <= cache_index
+                att = jnp.where(valid, att, jnp.finfo(att.dtype).min)
+                att = jax.nn.softmax(att, axis=-1)
+                y = jnp.einsum("bhqk,bhkd->bhqd", att, v_cache)
         elif (
             self.use_flash_attention
             and attn_bias is None

@@ -154,3 +154,36 @@ def test_cached_steps_match_full_forward(rng):
     np.testing.assert_allclose(
         got_content, np.asarray(full["content_logits"]), rtol=1e-4, atol=1e-4
     )
+
+
+def test_chunked_decode_attention_matches_full(rng):
+    """Cache capacity that is a _DECODE_CHUNK multiple routes single-token
+    steps through the chunked online-softmax path; logits must match the full
+    forward exactly (same tolerance as the dense-cache path)."""
+    gpt = tiny_gpt()
+    b, lc, lf = 2, 5, 6
+    streams = _streams(jax.random.PRNGKey(1), b, lc, lf)
+    variables = gpt.init({"params": rng}, **streams)
+    full = gpt.apply(variables, **streams)
+    t = lc + lf - 1
+
+    # capacity 256 (chunk multiple) -> chunked path
+    pos_cache, content_cache = gpt.apply(variables, b, 256, method="make_caches")
+    assert pos_cache.layers[0][0].shape[2] == 256
+    content_all = jnp.concatenate([streams["coarse_content"], streams["fine_content"]], 1)
+    got_pos = []
+    for i in range(t):
+        is_fine = i >= lc
+        tok_c = content_all[:, i]
+        tok_p = (streams["fine_position"][:, i - lc] if is_fine
+                 else streams["coarse_position"][:, i])
+        seg = jnp.full((b,), 1 if is_fine else 0, jnp.int32)
+        x = gpt.apply(variables, tok_c, tok_p, seg, jnp.int32(i), is_fine,
+                      method="embed_input_token")
+        hidden, pos_logits, pos_cache = gpt.apply(
+            variables, x, pos_cache, jnp.int32(i), method="position_step")
+        got_pos.append(pos_logits)
+    got = np.stack([np.asarray(l) for l in got_pos], axis=1)
+    np.testing.assert_allclose(
+        got, np.asarray(full["position_logits"]), rtol=1e-4, atol=1e-4
+    )
