@@ -196,11 +196,21 @@ class Stage1Trainer:
                 + self.loss.codebook_weight * qloss
                 + budget
             )
-            ratio = jnp.mean(grain_indices.astype(jnp.float32) > 0)
+            log_ratios = {}
+            if grain_indices is not None:
+                g = grain_indices.astype(jnp.float32)
+                if gate is not None and gate.shape[-1] == 3:
+                    # triple grain: reference logs fine (==2) and median (==1)
+                    # ratios separately (dqvae_triple_feat.py:102-136)
+                    log_ratios["train_fine_ratio"] = jnp.mean(g == 2)
+                    log_ratios["train_median_ratio"] = jnp.mean(g == 1)
+                else:
+                    log_ratios["train_fine_ratio"] = jnp.mean(g > 0)
             aux = {
                 "ema": mut["ema"],
                 "batch_stats": gmut.get("batch_stats", state.loss_stats),
                 "log": {
+                    **log_ratios,
                     "train_aeloss": total,
                     "train_rec_loss": rec_loss,
                     "train_nll_loss": nll_loss,
@@ -210,7 +220,6 @@ class Stage1Trainer:
                     "train_d_weight": d_weight,
                     "train_disc_factor": disc_factor,
                     "train_budget_loss": budget,
-                    "train_fine_ratio": ratio,
                 },
             }
             return total, aux
