@@ -285,11 +285,17 @@ class Stage1Trainer:
         if state.loss_stats:
             loss_vars["batch_stats"] = state.loss_stats
         nll_loss, rec_loss, p_loss = self.loss.apply(loss_vars, x, xrec, method="nll")
-        ratio = jnp.mean(grain_indices.astype(jnp.float32) > 0)
-        return {
+        out = {
             "val_rec_loss": rec_loss,
             "val_nll_loss": nll_loss,
             "val_p_loss": p_loss,
             "val_quant_loss": qloss,
-            "val_fine_ratio": ratio,
         }
+        if grain_indices is not None:
+            g = grain_indices.astype(jnp.float32)
+            if gate is not None and gate.shape[-1] == 3:
+                out["val_fine_ratio"] = jnp.mean(g == 2)
+                out["val_median_ratio"] = jnp.mean(g == 1)
+            else:
+                out["val_fine_ratio"] = jnp.mean(g > 0)
+        return out
