@@ -6,13 +6,13 @@ spatial average, sum over taps. Inputs in [-1, 1], shifted/scaled by fixed
 constants first.
 
 Weights: the reference downloads torchvision's pretrained VGG16 plus the
-taming-transformers lin heads (`modules/lpips/vgg.pth`, 5 tensors). This
-environment has zero egress, so `utils.torch_ckpt.load_lpips_weights` imports
-them from local .pth files when available (config: ``lpips_vgg_path`` /
-``lpips_lin_path``); otherwise LPIPS runs with seeded random VGG weights —
-random-feature perceptual losses still provide useful gradients, but rFID
-parity with reference checkpoints requires the real weights (documented in
-QUIRKS.md).
+taming-transformers lin heads (`modules/lpips/vgg.pth`, 5 tensors). The lin
+heads are bundled with this package (assets/lpips/vgg_lin.npz, loaded by
+default — see `load_bundled_lin_heads`). The VGG16 backbone is external:
+point ``lpips_vgg_path`` / env ``DQVQ_LPIPS_VGG`` at a torchvision vgg16
+state_dict for full parity; without it the backbone falls back to seeded
+random features — still a useful training gradient, but rFID parity with
+reference checkpoints requires the real backbone (documented in QUIRKS.md).
 """
 from __future__ import annotations
 
@@ -66,3 +66,19 @@ class LPIPS(nn.Module):
             lin = nn.Conv(1, (1, 1), use_bias=False, name=f"lin{i}")(d)
             val = val + jnp.mean(lin, axis=(1, 2), keepdims=True)
         return val  # (B, 1, 1, 1)
+
+
+def load_bundled_lin_heads() -> dict:
+    """The reference's learned LPIPS lin-head weights (its
+    `modules/lpips/vgg.pth`, 5 tensors of 1472 floats total), bundled at
+    assets/lpips/vgg_lin.npz in flax HWIO layout. Loaded by default by
+    Stage1Trainer.init_state so training uses the real perceptual heads."""
+    import os
+
+    import numpy as np
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "assets", "lpips", "vgg_lin.npz"
+    )
+    data = np.load(path)
+    return {k: {"kernel": jnp.asarray(data[k])} for k in data.files}

@@ -47,7 +47,7 @@ class GPT(nn.Module):
             use_flash_attention=self.use_flash_attention,
             name="blocks",
         )
-        self.ln_f = nn.LayerNorm(name="ln_f")
+        self.ln_f = nn.LayerNorm(epsilon=1e-5, name="ln_f")
         self.head = nn.Dense(
             self.vocab_size, use_bias=False, kernel_init=normal_init(0.02), name="head"
         )

@@ -49,12 +49,12 @@ class StackedPositionGPT(nn.Module):
         )
         self.position_transformer = stack(self.position_layer, "position_transformer")
         self.value_transformer = stack(self.value_layer, "value_transformer")
-        self.position_head_ln = nn.LayerNorm(name="position_head_ln")
+        self.position_head_ln = nn.LayerNorm(epsilon=1e-5, name="position_head_ln")
         self.position_head = nn.Dense(
             self.position_size, use_bias=False, kernel_init=normal_init(0.02),
             name="position_head",
         )
-        self.value_head_ln = nn.LayerNorm(name="value_head_ln")
+        self.value_head_ln = nn.LayerNorm(epsilon=1e-5, name="value_head_ln")
         self.value_head = nn.Dense(
             self.vocab_size, use_bias=False, kernel_init=normal_init(0.02),
             name="value_head",

@@ -201,14 +201,14 @@ class Block(nn.Module):
             self.use_flash_attention,
             name="attn",
         )(
-            nn.LayerNorm(name="ln1")(x),
+            nn.LayerNorm(epsilon=1e-5, name="ln1")(x),
             deterministic=deterministic,
             cache=cache,
             cache_index=cache_index,
             attn_bias=attn_bias,
         )
         x = x + attn_out
-        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         h = nn.Dense(4 * self.n_embd, kernel_init=normal_init(0.02), name="mlp_fc")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(self.n_embd, kernel_init=normal_init(0.02), name="mlp_proj")(h)

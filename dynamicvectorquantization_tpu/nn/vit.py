@@ -36,7 +36,7 @@ class _BidirBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.LayerNorm(name="ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
         b, t, c = h.shape
         hd = c // self.n_head
         dense = lambda name: nn.Dense(c, kernel_init=trunc_normal_init(0.02), name=name)
@@ -47,7 +47,7 @@ class _BidirBlock(nn.Module):
         att = nn.Dropout(self.attn_drop)(att, deterministic=deterministic)
         y = jnp.einsum("bhqk,bhkd->bhqd", att, v).transpose(0, 2, 1, 3).reshape(b, t, c)
         x = x + nn.Dropout(self.drop)(dense("proj")(y), deterministic=deterministic)
-        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         h = nn.Dense(4 * c, kernel_init=trunc_normal_init(0.02), name="mlp_fc")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(c, kernel_init=trunc_normal_init(0.02), name="mlp_proj")(h)
@@ -154,8 +154,8 @@ class PositionAwareGPT(nn.Module):
         )(x, deterministic=deterministic)
         value_logits = nn.Dense(self.vocab_size, use_bias=False,
                                 kernel_init=normal_init(0.02), name="head")(
-            nn.LayerNorm(name="ln_f")(x))
+            nn.LayerNorm(epsilon=1e-5, name="ln_f")(x))
         pos_logits = nn.Dense(self.position_size, use_bias=False,
                               kernel_init=normal_init(0.02), name="head_pos")(
-            nn.LayerNorm(name="ln_f_pos")(x))
+            nn.LayerNorm(epsilon=1e-5, name="ln_f_pos")(x))
         return value_logits, pos_logits

@@ -91,27 +91,36 @@ class Stage1Trainer:
         loss_vars = self.loss.init(
             {"params": jax.random.fold_in(rng, 7)}, x, x, train=False
         )
-        # LPIPS weights: torchvision vgg16 state_dict + taming lin heads
-        # (env DQVQ_LPIPS_VGG / DQVQ_LPIPS_LIN or explicit paths); otherwise
-        # seeded random VGG features (see nn/lpips.py docstring).
+        # LPIPS weights. The reference's learned lin heads (its
+        # `modules/lpips/vgg.pth`, md5-pinned at `utils/utils.py:236-244`) ship
+        # with this package (assets/lpips/vgg_lin.npz) and load by default.
+        # The torchvision VGG16 backbone cannot be bundled (license/size):
+        # point DQVQ_LPIPS_VGG at its state_dict for full LPIPS parity;
+        # without it the backbone uses seeded random features (see
+        # nn/lpips.py docstring).
         lpips_vgg_path = lpips_vgg_path or os.environ.get("DQVQ_LPIPS_VGG")
         lpips_lin_path = lpips_lin_path or os.environ.get("DQVQ_LPIPS_LIN")
+        merged = dict(loss_vars["params"]["perceptual_loss"])
         if lpips_vgg_path or lpips_lin_path:
             from ..utils.torch_ckpt import convert_lpips_weights, load_torch_state_dict
 
             vgg_sd = load_torch_state_dict(lpips_vgg_path) if lpips_vgg_path else None
             lin_sd = load_torch_state_dict(lpips_lin_path) if lpips_lin_path else None
             lpips_params = convert_lpips_weights(vgg_sd, lin_sd)
-            merged = dict(loss_vars["params"]["perceptual_loss"])
             for k, v in lpips_params.items():
                 if k == "net" and vgg_sd is not None:
                     merged["net"] = v
                 elif k != "net":
                     merged[k] = v
-            loss_vars = {
-                **loss_vars,
-                "params": {**loss_vars["params"], "perceptual_loss": merged},
-            }
+        if not lpips_lin_path:
+            from ..nn.lpips import load_bundled_lin_heads
+
+            for k, v in load_bundled_lin_heads().items():
+                merged[k] = v
+        loss_vars = {
+            **loss_vars,
+            "params": {**loss_vars["params"], "perceptual_loss": merged},
+        }
         disc_params = loss_vars["params"]["discriminator"]
         return Stage1State(
             ae_params=net_vars["params"],
