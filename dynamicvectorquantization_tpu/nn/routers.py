@@ -141,8 +141,10 @@ class TripleGrainFixedEntropyRouter(nn.Module):
             self._fine_t = float(self.fine_threshold)
             self._median_t = float(self.median_threshold)
         else:
-            fine = self.fine_grain_ratito or 0.3
-            median = self.median_grain_ratito or 0.3
+            fine = self.fine_grain_ratito if self.fine_grain_ratito is not None else 0.3
+            median = (
+                self.median_grain_ratito if self.median_grain_ratito is not None else 0.3
+            )
             self._fine_t = _load_threshold(self.json_path, fine)
             self._median_t = _load_threshold(self.json_path, fine + median)
 

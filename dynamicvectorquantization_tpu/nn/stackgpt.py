@@ -190,12 +190,16 @@ class StackGPT(nn.Module):
                 content_logits, content_target, self.content_pad_code
             )
         else:
+            # reference stackgpt.py:225-231: only the CONTENT CE drops its
+            # ignore_index in this branch; both position CEs keep theirs
             split = coarse_length
             cpl = cross_entropy_ignore(
-                position_logits[:, :split], coarse_position_target, -1
+                position_logits[:, :split], coarse_position_target,
+                self.coarse_position_pad_code,
             )
             fpl = cross_entropy_ignore(
-                position_logits[:, split:], fine_position_target, -1
+                position_logits[:, split:], fine_position_target,
+                self.fine_position_pad_code,
             )
             closs = cross_entropy_ignore(content_logits, content_target, -1)
 

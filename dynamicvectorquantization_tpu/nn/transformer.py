@@ -107,9 +107,9 @@ class CausalSelfAttention(nn.Module):
     n_head: int
     attn_pdrop: float = 0.0
     resid_pdrop: float = 0.0
-    # Pallas flash attention for the full-sequence (training) path. Note:
-    # flash has no attention-probability dropout, so enabling this skips
-    # attn_pdrop (resid/embd dropout unaffected) — a documented deviation.
+    # Pallas flash attention for the full-sequence (training) path. Flash has
+    # no attention-probability dropout, so it refuses attn_pdrop > 0 rather
+    # than silently training a different model.
     use_flash_attention: bool = False
 
     @nn.compact
@@ -121,6 +121,11 @@ class CausalSelfAttention(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,  # scalar int
         attn_bias: Optional[jnp.ndarray] = None,  # (B, 1, T, T) additive
     ):
+        if self.use_flash_attention and self.attn_pdrop > 0:
+            raise ValueError(
+                "use_flash_attention=True requires attn_pdrop == 0 (the flash "
+                f"kernel has no attention dropout); got attn_pdrop={self.attn_pdrop}"
+            )
         b, t, c = x.shape
         hd = c // self.n_head
         dense = lambda name: nn.Dense(c, kernel_init=normal_init(0.02), name=name)

@@ -42,6 +42,7 @@ class Trainer:
         max_steps_per_epoch: Optional[int] = None,
         resume: bool = True,
         profile_steps: int = 0,
+        accumulate_grad_batches: int = 1,
     ):
         self.logdir = logdir
         self.max_epochs = max_epochs
@@ -52,10 +53,28 @@ class Trainer:
         self.max_steps_per_epoch = max_steps_per_epoch
         self.resume = resume
         self.profile_steps = profile_steps
+        # reference `accumulate_grad_batches`: each optimizer step consumes
+        # this many loader batches (stacked to (accum, B, ...); grads
+        # averaged inside the train step). Trailing incomplete groups at
+        # epoch end are dropped.
+        self.accum = int(accumulate_grad_batches)
         self._profiling = False
         os.makedirs(logdir, exist_ok=True)
         self.metrics = MetricLogger(logdir)
         self.images = ImageLogger(logdir, batch_frequency=image_log_frequency)
+
+    def _group_microbatches(self, gen):
+        """Yield pytrees of step inputs: pass-through at accum=1, else stacked
+        (accum, B, ...) groups of `accum` consecutive loader outputs."""
+        if self.accum == 1:
+            yield from gen
+            return
+        buf = []
+        for item in gen:
+            buf.append(item)
+            if len(buf) == self.accum:
+                yield jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *buf)
+                buf = []
 
     def _maybe_profile(self, global_step: int):
         """Capture a jax.profiler trace of the first `profile_steps` steps
@@ -74,12 +93,27 @@ class Trainer:
     def _ckpt_manager(self, monitor: Optional[str]):
         import orbax.checkpoint as ocp
 
-        options = ocp.CheckpointManagerOptions(
-            max_to_keep=self.save_top_k,
-            best_fn=(lambda m: m.get(monitor, 0.0)) if monitor else None,
-            best_mode="min" if monitor else "max",
-            create=True,
-        )
+        if monitor:
+            # top-k by monitor PLUS the chronologically-latest step, so resume
+            # never rewinds past a bad epoch (reference ModelCheckpoint
+            # save_top_k + save_last)
+            from orbax.checkpoint.checkpoint_managers import preservation_policy as pp
+
+            keep = pp.AnyPreservationPolicy([
+                pp.LatestN(n=1),
+                pp.BestN(
+                    get_metric_fn=lambda m: m.get(monitor, 0.0),
+                    reverse=True,  # smaller metric = better (loss monitors)
+                    n=self.save_top_k,
+                ),
+            ])
+            options = ocp.CheckpointManagerOptions(
+                preservation_policy=keep, create=True
+            )
+        else:
+            options = ocp.CheckpointManagerOptions(
+                max_to_keep=self.save_top_k, create=True
+            )
         return ocp.CheckpointManager(
             os.path.abspath(os.path.join(self.logdir, "checkpoints")), options=options
         )
@@ -109,6 +143,7 @@ class Trainer:
             min_learning_rate=model.min_learning_rate,
             warmup_steps=warmup_steps,
             max_steps=model.training_steps,
+            accum=self.accum,
         )
         sample = next(iter(train_loader.epoch(0)))
         x0 = model.get_input(sample, model.image_key)
@@ -124,7 +159,12 @@ class Trainer:
             print(f"Resumed from checkpoint step {mngr.latest_step()}")
 
         b_sh = batch_sharding(self.mesh)
-        step_fn = jax.jit(trainer.train_step, in_shardings=(None, b_sh, None),
+        # with accumulation the step input gains a leading microbatch axis;
+        # the data-parallel shard moves to axis 1
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x_sh = b_sh if self.accum == 1 else NamedSharding(self.mesh, P(None, "dp"))
+        step_fn = jax.jit(trainer.train_step, in_shardings=(None, x_sh, None),
                           donate_argnums=(0,))
         eval_fn = jax.jit(trainer.eval_step, in_shardings=(None, b_sh))
         forward_fn = jax.jit(
@@ -141,25 +181,27 @@ class Trainer:
         start_epoch = int(state.epoch)
         for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()
-            for bi, batch in enumerate(
-                device_prefetch(train_loader.epoch(epoch), b_sh)
-            ):
+            inputs = (
+                model.get_input(batch, model.image_key)
+                for batch in device_prefetch(train_loader.epoch(epoch), b_sh)
+            )
+            for bi, x in enumerate(self._group_microbatches(inputs)):
                 if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
                     break
-                x = model.get_input(batch, model.image_key)
                 rng, sub = jax.random.split(rng)
                 self._maybe_profile(int(state.step))
                 state, logs = step_fn(state, x, sub)
                 gs = int(state.step)
+                x_vis = x if self.accum == 1 else x[0]
                 if bi % self.log_every == 0:
                     logs_np = {k: float(v) for k, v in logs.items()}
-                    logs_np["images_per_sec"] = x.shape[0] * (bi + 1) / (
-                        time.time() - t0
+                    logs_np["images_per_sec"] = (
+                        self.accum * x_vis.shape[0] * (bi + 1) / (time.time() - t0)
                     )
                     self.metrics.log(gs, logs_np, "train")
                 if self.images.should_log(bi):
-                    self._log_stage1_images(model, forward_fn, state, x, "train",
-                                            gs, epoch, bi)
+                    self._log_stage1_images(model, forward_fn, state, x_vis,
+                                            "train", gs, epoch, bi)
             state = state._replace(epoch=state.epoch + 1)
 
             val_metrics = self._validate_stage1(model, data, eval_fn, state)
@@ -181,16 +223,18 @@ class Trainer:
     def _validate_stage1(self, model, data, eval_fn, state):
         val_loader = data.val_dataloader(seed=self.seed)
         b_sh = batch_sharding(self.mesh)
-        acc, n = {}, 0
+        acc, n = None, 0
         for bi, batch in enumerate(device_prefetch(val_loader.epoch(0), b_sh)):
             if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
                 break
             x = model.get_input(batch, model.image_key)
             logs = eval_fn(state, x)
-            for k, v in logs.items():
-                acc[k] = acc.get(k, 0.0) + float(v)
+            # accumulate on device; one host sync at the end
+            acc = logs if acc is None else jax.tree_util.tree_map(jnp.add, acc, logs)
             n += 1
-        return {k: v / max(n, 1) for k, v in acc.items()}
+        if acc is None:
+            return {}
+        return {k: float(v) / n for k, v in acc.items()}
 
     def _log_stage1_images(self, model, forward_fn, state, x, split, gs, epoch, bi):
         xrec, _, grains, _, x_entropy = forward_fn(state, x)
@@ -215,6 +259,7 @@ class Trainer:
             min_learning_rate=model.min_learning_rate,
             warmup_steps=warmup_steps,
             max_steps=model.training_steps,
+            accum=self.accum,
         )
         # first stage weights from its config ckpt_path (reference embeds the
         # stage-1 ckpt under first_stage_config.params.ckpt_path)
@@ -236,8 +281,11 @@ class Trainer:
             print(f"Resumed from checkpoint step {mngr.latest_step()}")
 
         b_sh = batch_sharding(self.mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x_sh = b_sh if self.accum == 1 else NamedSharding(self.mesh, P(None, "dp"))
         step_fn = jax.jit(trainer.train_step,
-                          in_shardings=(None, None, b_sh, b_sh, None),
+                          in_shardings=(None, None, x_sh, x_sh, None),
                           donate_argnums=(0,))
         eval_fn = jax.jit(trainer.eval_step, in_shardings=(None, None, b_sh, b_sh))
 
@@ -250,22 +298,32 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed + 1)
         start_epoch = int(state.epoch)
         for epoch in range(start_epoch, self.max_epochs):
-            for bi, batch in enumerate(
-                device_prefetch(train_loader.epoch(epoch), b_sh)
-            ):
-                if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
-                    break
+            def _xc(batch):
                 x = model.first_stage_model.get_input(batch, model.first_stage_key)
                 if model.cond_stage_key == "class_label":
-                    c = jnp.asarray(batch["class_label"])
-                else:
-                    c = x
+                    return x, jnp.asarray(batch["class_label"])
+                return x, x
+
+            inputs = (
+                _xc(batch)
+                for batch in device_prefetch(train_loader.epoch(epoch), b_sh)
+            )
+            for bi, (x, c) in enumerate(self._group_microbatches(inputs)):
+                if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
+                    break
                 rng, sub = jax.random.split(rng)
                 self._maybe_profile(int(state.step))
                 state, logs = step_fn(state, variables, x, c, sub)
                 if bi % self.log_every == 0:
                     self.metrics.log(int(state.step),
                                      {k: float(v) for k, v in logs.items()}, "train")
+                if self.images.should_log(bi):
+                    self._log_stage2_images(
+                        model, variables, state,
+                        x if self.accum == 1 else x[0],
+                        c if self.accum == 1 else c[0],
+                        "train", int(state.step), epoch, bi,
+                    )
             state = state._replace(epoch=state.epoch + 1)
 
             val_metrics = self._validate_stage2(model, data, eval_fn, state, variables)
@@ -281,10 +339,24 @@ class Trainer:
             )
         return state
 
+    def _log_stage2_images(self, model, variables, state, x, c, split, gs,
+                           epoch, bi):
+        """Sample grids during stage-2 training (reference logs every 50
+        batches via `utils/logger.py:57-147` calling `model.log_images`)."""
+        v = {
+            "transformer": {**variables["transformer"], "params": state.params},
+            "first_stage": variables["first_stage"],
+        }
+        batch = {model.first_stage_key: x}
+        if model.cond_stage_key != "image":
+            batch[model.cond_stage_key] = c
+        imgs = model.log_images(v, batch, rng=jax.random.PRNGKey(gs))
+        self.images.log(imgs, split, gs, epoch, bi)
+
     def _validate_stage2(self, model, data, eval_fn, state, variables):
         val_loader = data.val_dataloader(seed=self.seed)
         b_sh = batch_sharding(self.mesh)
-        acc, n = {}, 0
+        acc, n = None, 0
         for bi, batch in enumerate(device_prefetch(val_loader.epoch(0), b_sh)):
             if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
                 break
@@ -295,10 +367,11 @@ class Trainer:
                 else x
             )
             logs = eval_fn(state, variables, x, c)
-            for k, v in logs.items():
-                acc[k] = acc.get(k, 0.0) + float(v)
+            acc = logs if acc is None else jax.tree_util.tree_map(jnp.add, acc, logs)
             n += 1
-        return {k: v / max(n, 1) for k, v in acc.items()}
+        if acc is None:
+            return {}
+        return {k: float(v) / n for k, v in acc.items()}
 
 
 def _load_first_stage(fs_model):

@@ -52,10 +52,17 @@ class Stage1Trainer:
 
     def __init__(self, model, learning_rate, min_learning_rate=0.0,
                  warmup_steps=0, max_steps=1_000_000, scheduler_type=None,
-                 remat=None):
+                 remat=None, accum=1):
         self.model = model
         self.net = model.net
         self.loss = model.loss
+        # Gradient accumulation (reference train.py `accumulate_grad_batches`,
+        # fed to Lightning). accum>1: train_step takes x of shape
+        # (accum, B, ...) and scans microbatches, averaging grads; each
+        # optimizer updates once per step. EMA / batch_stats evolve per
+        # microbatch (Lightning calls training_step per batch).
+        self.accum = int(accum)
+        assert self.accum >= 1
         # remat rematerializes the AE forward during backward (keeps only
         # matmul outputs). On TPU at 256^2 production geometry this is not a
         # tradeoff but a requirement: measured 33.2 img/s/chip WITH remat vs
@@ -134,22 +141,28 @@ class Stage1Trainer:
         )
 
     # ------------------------------------------------------------ train step
-    def train_step(self, state: Stage1State, x, rng):
-        """One AE update + one disc update on the same batch."""
-        gate_step = state.epoch if self.loss_with_epoch else state.step
-        rngs = {
+    @staticmethod
+    def _make_rngs(rng):
+        return {
             "gumbel": jax.random.fold_in(rng, 0),
             "vq": jax.random.fold_in(rng, 1),
             "dropout": jax.random.fold_in(rng, 2),
         }
 
-        loss_vars = {"params": state.loss_params}
-        if state.loss_stats:
-            loss_vars["batch_stats"] = state.loss_stats
+    def train_step(self, state: Stage1State, x, rng):
+        """One AE update + one disc update.
+
+        x: (B, H, W, C), or (accum, B, H, W, C) when accum > 1 — grads are
+        averaged over the microbatches and each optimizer steps once.
+        """
+        gate_step = state.epoch if self.loss_with_epoch else state.step
 
         # ---------------- optimizer 0: autoencoder ----------------
-        def ae_loss_fn(ae_params):
-            net_vars = {"params": ae_params, "ema": state.ema}
+        def ae_loss_fn(ae_params, ema, loss_stats, x, rngs):
+            loss_vars = {"params": state.loss_params}
+            if loss_stats:
+                loss_vars["batch_stats"] = loss_stats
+            net_vars = {"params": ae_params, "ema": ema}
 
             def fwd(net_vars, x):
                 return self.net.apply(
@@ -217,7 +230,7 @@ class Stage1Trainer:
                     log_ratios["train_fine_ratio"] = jnp.mean(g > 0)
             aux = {
                 "ema": mut["ema"],
-                "batch_stats": gmut.get("batch_stats", state.loss_stats),
+                "batch_stats": gmut.get("batch_stats", loss_stats),
                 "log": {
                     **log_ratios,
                     "train_aeloss": total,
@@ -233,23 +246,50 @@ class Stage1Trainer:
             }
             return total, aux
 
-        (ae_total, aux), ae_grads = jax.value_and_grad(ae_loss_fn, has_aux=True)(
-            state.ae_params
-        )
+        ae_grad_fn = jax.value_and_grad(ae_loss_fn, has_aux=True)
+
+        if self.accum == 1:
+            (_, aux), ae_grads = ae_grad_fn(
+                state.ae_params, state.ema, state.loss_stats, x,
+                self._make_rngs(rng),
+            )
+            ema, loss_stats, ae_log = aux["ema"], aux["batch_stats"], aux["log"]
+        else:
+            micro_rngs = jax.random.split(rng, self.accum)
+            (_, aux0), g0 = ae_grad_fn(
+                state.ae_params, state.ema, state.loss_stats, x[0],
+                self._make_rngs(micro_rngs[0]),
+            )
+
+            def ae_micro(carry, inp):
+                ema, loss_stats, gsum, logsum = carry
+                xi, ri = inp
+                (_, aux), g = ae_grad_fn(
+                    state.ae_params, ema, loss_stats, xi, self._make_rngs(ri)
+                )
+                return (
+                    aux["ema"],
+                    aux["batch_stats"],
+                    jax.tree.map(jnp.add, gsum, g),
+                    jax.tree.map(jnp.add, logsum, aux["log"]),
+                ), None
+
+            (ema, loss_stats, gsum, logsum), _ = jax.lax.scan(
+                ae_micro,
+                (aux0["ema"], aux0["batch_stats"], g0, aux0["log"]),
+                (x[1:], micro_rngs[1:]),
+            )
+            inv = 1.0 / self.accum
+            ae_grads = jax.tree.map(lambda t: t * inv, gsum)
+            ae_log = jax.tree.map(lambda t: t * inv, logsum)
+
         ae_updates, ae_opt = self.ae_tx.update(ae_grads, state.ae_opt, state.ae_params)
         ae_params = optax.apply_updates(state.ae_params, ae_updates)
-        ema = aux["ema"]
-        loss_stats = aux["batch_stats"]
 
         # ---------------- optimizer 1: discriminator ----------------
-        # fresh forward with the UPDATED AE (Lightning per-optimizer forward)
-        net_vars = {"params": ae_params, "ema": ema}
-        (xrec2, *_), _ = self.net.apply(
-            net_vars, x, train=True, rngs=rngs, mutable=["ema"]
-        )
-        xrec2 = jax.lax.stop_gradient(xrec2)
-
-        def d_loss_fn(disc_params):
+        # fresh forward with the UPDATED AE (Lightning per-optimizer forward);
+        # its ema mutation is discarded — QUIRKS #15/#20.
+        def d_loss_fn(disc_params, loss_stats, x, xrec2):
             lp = {**state.loss_params, "discriminator": disc_params}
             lv = {"params": lp}
             if loss_stats:
@@ -260,9 +300,45 @@ class Stage1Trainer:
             )
             return d, (dlog, dmut.get("batch_stats", loss_stats))
 
-        (d_total, (dlog, loss_stats)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True
-        )(state.loss_params["discriminator"])
+        d_grad_fn = jax.value_and_grad(d_loss_fn, has_aux=True)
+        net_vars = {"params": ae_params, "ema": ema}
+
+        def _fresh_rec(xi, ri):
+            (xrec2, *_), _ = self.net.apply(
+                net_vars, xi, train=True, rngs=self._make_rngs(ri),
+                mutable=["ema"],
+            )
+            return jax.lax.stop_gradient(xrec2)
+
+        if self.accum == 1:
+            (_, (dlog, loss_stats)), d_grads = d_grad_fn(
+                state.loss_params["discriminator"], loss_stats, x,
+                _fresh_rec(x, rng),
+            )
+        else:
+            (_, (dlog0, stats0)), dg0 = d_grad_fn(
+                state.loss_params["discriminator"], loss_stats, x[0],
+                _fresh_rec(x[0], micro_rngs[0]),
+            )
+
+            def d_micro(carry, inp):
+                loss_stats, gsum, logsum = carry
+                xi, ri = inp
+                (_, (dlog, new_stats)), g = d_grad_fn(
+                    state.loss_params["discriminator"], loss_stats, xi,
+                    _fresh_rec(xi, ri),
+                )
+                return (
+                    new_stats,
+                    jax.tree.map(jnp.add, gsum, g),
+                    jax.tree.map(jnp.add, logsum, dlog),
+                ), None
+
+            (loss_stats, dgsum, dlogsum), _ = jax.lax.scan(
+                d_micro, (stats0, dg0, dlog0), (x[1:], micro_rngs[1:])
+            )
+            d_grads = jax.tree.map(lambda t: t * inv, dgsum)
+            dlog = jax.tree.map(lambda t: t * inv, dlogsum)
         d_updates, disc_opt = self.disc_tx.update(
             d_grads, state.disc_opt, state.loss_params["discriminator"]
         )
@@ -271,7 +347,7 @@ class Stage1Trainer:
         )
         loss_params = {**state.loss_params, "discriminator": disc_params}
 
-        logs = dict(aux["log"])
+        logs = dict(ae_log)
         logs.update({f"train_{k}": v for k, v in dlog.items()})
 
         new_state = Stage1State(

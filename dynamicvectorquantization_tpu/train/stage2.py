@@ -41,8 +41,12 @@ def _decay_mask(params):
 
 class Stage2Trainer:
     def __init__(self, model, learning_rate, min_learning_rate=0.0,
-                 warmup_steps=0, max_steps=1_000_000):
+                 warmup_steps=0, max_steps=1_000_000, accum=1):
         self.model = model
+        # accum>1: train_step takes (accum, B, ...) microbatches, averages
+        # grads, one optimizer update (reference `accumulate_grad_batches`).
+        self.accum = int(accum)
+        assert self.accum >= 1
         self.schedule = warmup_cosine(
             learning_rate, warmup_steps, max_steps,
             min_learning_rate / max(learning_rate, 1e-20),
@@ -81,27 +85,60 @@ class Stage2Trainer:
         return grads
 
     def train_step(self, state: Stage2State, variables, x, c, rng):
-        """variables carries the frozen first stage + transformer non-params."""
+        """variables carries the frozen first stage + transformer non-params.
 
-        def loss_fn(params):
+        x (and c when conditional): (B, ...) or (accum, B, ...) microbatches.
+        """
+
+        def loss_fn(params, xi, ci, ri):
             v = {
                 "transformer": {**variables["transformer"], "params": params},
                 "first_stage": variables["first_stage"],
             }
-            out = self.model.forward(v, x, c, train=True, rngs={"dropout": rng})
+            out = self.model.forward(v, xi, ci, train=True, rngs={"dropout": ri})
             total = self.model.loss(out)
             return total, out
 
-        (total, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        if self.accum == 1:
+            (total, out), grads = grad_fn(state.params, x, c, rng)
+            log_src = {"total": total, **out}
+        else:
+            rs = jax.random.split(rng, self.accum)
+            c0 = None if c is None else c[0]
+            (t0, out0), g0 = grad_fn(state.params, x[0], c0, rs[0])
+
+            def micro(carry, inp):
+                gsum, logsum = carry
+                if c is None:
+                    xi, ri = inp
+                    ci = None
+                else:
+                    xi, ci, ri = inp
+                (t, out), g = grad_fn(state.params, xi, ci, ri)
+                return (
+                    jax.tree.map(jnp.add, gsum, g),
+                    jax.tree.map(jnp.add, logsum, {"total": t, **out}),
+                ), None
+
+            xs = (x[1:], rs[1:]) if c is None else (x[1:], c[1:], rs[1:])
+            (gsum, logsum), _ = jax.lax.scan(
+                micro, (g0, {"total": t0, **out0}), xs
+            )
+            inv = 1.0 / self.accum
+            grads = jax.tree.map(lambda t: t * inv, gsum)
+            log_src = jax.tree.map(lambda t: t * inv, logsum)
+
         grads = self._freeze_pad_rows(grads)
         updates, opt = self.tx.update(grads, state.opt, state.params)
         params = optax.apply_updates(state.params, updates)
         logs = {
-            "train_loss": total,
-            "train_content_loss": out["content_loss"],
-            "train_position_loss": out["position_loss"],
-            "train_coarse_position_loss": out["coarse_position_loss"],
-            "train_fine_position_loss": out["fine_position_loss"],
+            "train_loss": log_src["total"],
+            "train_content_loss": log_src["content_loss"],
+            "train_position_loss": log_src["position_loss"],
+            "train_coarse_position_loss": log_src["coarse_position_loss"],
+            "train_fine_position_loss": log_src["fine_position_loss"],
         }
         return Stage2State(params, opt, state.step + 1, state.epoch), logs
 

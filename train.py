@@ -123,6 +123,7 @@ def main():
         max_steps_per_epoch=opt.max_steps_per_epoch,
         resume=bool(opt.resume),
         profile_steps=opt.profile_steps,
+        accumulate_grad_batches=opt.accumulate_grad_batches,
     )
     do_train = str(opt.train).lower() not in ("false", "0", "no")
     with mesh:
