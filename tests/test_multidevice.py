@@ -1,0 +1,145 @@
+"""Multi-device equivalence: the SPMD claims in `parallel/mesh.py` and
+`ops/vq.py:16-22` (EMA stats global-by-construction, replicated-PRNG restarts
+— replacing the reference's `quantize2_mask.py:86-105` all-reduce/broadcast)
+made falsifiable on the 8-device CPU mesh from conftest.
+
+A dp=8-sharded stage-1 train_step must produce the same params, EMA stats,
+and codebook as the identical step on one device.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dynamicvectorquantization_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+)
+from tests.test_stage1_train import trainer_and_state  # noqa: F401 (fixture)
+
+
+def _flat(tree):
+    return np.concatenate([np.ravel(np.asarray(v))
+                           for v in jax.tree_util.tree_leaves(tree)])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_stage1_train_step_dp8_equals_dp1(trainer_and_state):  # noqa: F811
+    trainer, state, _ = trainer_and_state
+    # batch divisible by 8 so each device gets one sample
+    x = jax.random.uniform(jax.random.PRNGKey(42), (8, 64, 64, 3),
+                           minval=-1, maxval=1)
+    rng = jax.random.PRNGKey(5)
+
+    mesh1 = make_mesh(1)
+    mesh8 = make_mesh(8)
+
+    results = {}
+    for name, mesh in (("dp1", mesh1), ("dp8", mesh8)):
+        b_sh = batch_sharding(mesh)
+        st = replicate(mesh, state)
+        xs = jax.device_put(x, b_sh)
+        with mesh:
+            step = jax.jit(trainer.train_step, in_shardings=(None, b_sh, None))
+            new_state, logs = step(st, xs, rng)
+        results[name] = (jax.device_get(new_state), {k: float(v)
+                                                     for k, v in logs.items()})
+
+    s1, logs1 = results["dp1"]
+    s8, logs8 = results["dp8"]
+
+    # logged scalars (losses are global means; EMA restarts use a replicated
+    # key so they are identical too)
+    for k in logs1:
+        np.testing.assert_allclose(logs8[k], logs1[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=k)
+    # parameters after the update. adam's first step is ±lr regardless of
+    # grad magnitude, so reduction-order noise (~1e-7) flips the step sign
+    # where the true grad is ~0 — bound each element by one step (2*lr) and
+    # require the bulk to be tight.
+    def assert_params_track(a, b, lr=1e-3):
+        d = np.abs(a - b)
+        assert np.all(d <= 2.1 * lr), float(d.max())
+        assert np.mean(d) < 5e-5, float(np.mean(d))
+        assert np.mean(d > 1e-5) < 0.01, float(np.mean(d > 1e-5))
+
+    assert_params_track(_flat(s8.ae_params), _flat(s1.ae_params))
+    assert_params_track(
+        _flat(s8.loss_params["discriminator"]),
+        _flat(s1.loss_params["discriminator"]),
+    )
+    # EMA collection: cluster stats are global sums -> must match exactly-ish;
+    # codebook refresh + restart included
+    np.testing.assert_allclose(
+        np.asarray(s8.ema["quantize"]["cluster_size_ema"]),
+        np.asarray(s1.ema["quantize"]["cluster_size_ema"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s8.ema["quantize"]["embed_ema"]),
+        np.asarray(s1.ema["quantize"]["embed_ema"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s8.ema["quantize"]["codebook"]),
+        np.asarray(s1.ema["quantize"]["codebook"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_stage1_eval_step_dp8_equals_dp1(trainer_and_state):  # noqa: F811
+    trainer, state, _ = trainer_and_state
+    x = jax.random.uniform(jax.random.PRNGKey(43), (8, 64, 64, 3),
+                           minval=-1, maxval=1)
+    outs = {}
+    for n in (1, 8):
+        mesh = make_mesh(n)
+        b_sh = batch_sharding(mesh)
+        st = replicate(mesh, state)
+        with mesh:
+            ev = jax.jit(trainer.eval_step, in_shardings=(None, b_sh))
+            outs[n] = {k: float(v)
+                       for k, v in ev(st, jax.device_put(x, b_sh)).items()}
+    for k in outs[1]:
+        np.testing.assert_allclose(outs[8][k], outs[1][k], rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_vq_restart_determinism_across_shardings():
+    """Unused-code restarts draw from the GLOBAL vector pool with a
+    replicated PRNG key (`ops/vq.py:130-146`, replacing the reference's
+    rank-0 broadcast `quantize2_mask.py:93-105`): the quantizer's training
+    forward under dp=8 must reproduce dp=1's EMA stats, restarted rows, and
+    refreshed codebook."""
+    from dynamicvectorquantization_tpu.ops.vq import VectorQuantizeEMA
+
+    q = VectorQuantizeEMA(codebook_size=32, codebook_dim=16,
+                          restart_unused_codes=True, use_pallas=False)
+    x = jax.random.normal(jax.random.PRNGKey(7), (8, 4, 4, 16))
+    variables = q.init({"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)}, x)
+
+    out = {}
+    for n in (1, 8):
+        mesh = make_mesh(n)
+        b_sh = batch_sharding(mesh)
+        v = replicate(mesh, variables)
+        with mesh:
+            fwd = jax.jit(
+                lambda v, x: q.apply(v, x, train=True, mutable=["ema"],
+                                     rngs={"vq": jax.random.PRNGKey(3)}),
+                in_shardings=(None, b_sh),
+            )
+            (xq, loss, info), mut = fwd(v, jax.device_put(x, b_sh))
+        out[n] = (jax.device_get(mut["ema"]), np.asarray(info[2]), float(loss))
+
+    ema1, idx1, loss1 = out[1]
+    ema8, idx8, loss8 = out[8]
+    np.testing.assert_array_equal(idx8, idx1)
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+    for k in ("cluster_size_ema", "embed_ema", "codebook"):
+        np.testing.assert_allclose(np.asarray(ema8[k]), np.asarray(ema1[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
