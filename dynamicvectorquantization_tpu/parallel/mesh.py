@@ -47,3 +47,30 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = "dp"):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def opt_state_shardings(mesh: Mesh, opt_state, min_elements: int = 65536,
+                        axis_name: str = "dp"):
+    """ZeRO-1-style sharding spec for an optax state (the reference's
+    `ddp_sharded` analog, `train.py:227-228`).
+
+    Each large leaf (adam m/v moments — the bulk of training memory) gets its
+    first `n_devices`-divisible axis sharded over dp; small leaves and
+    non-divisible shapes stay replicated. Params remain replicated, so this
+    trades an all-gather of the (lr-scaled) updates for 1/n of the optimizer
+    memory — on TPU the gather rides ICI inside the one GSPMD program.
+    """
+    ndev = mesh.devices.size
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        if int(np.prod(shape, dtype=np.int64)) < min_elements:
+            return NamedSharding(mesh, P())
+        for i, d in enumerate(shape):
+            if d >= ndev and d % ndev == 0:
+                parts = [None] * len(shape)
+                parts[i] = axis_name
+                return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, opt_state)

@@ -43,6 +43,7 @@ class Trainer:
         resume: bool = True,
         profile_steps: int = 0,
         accumulate_grad_batches: int = 1,
+        opt_sharding: bool = False,
     ):
         self.logdir = logdir
         self.max_epochs = max_epochs
@@ -58,10 +59,28 @@ class Trainer:
         # averaged inside the train step). Trailing incomplete groups at
         # epoch end are dropped.
         self.accum = int(accumulate_grad_batches)
+        # reference --activate_ddp_share ("ddp_sharded" / ZeRO-1): shard the
+        # adam moments over dp, keep params replicated
+        self.opt_sharding = opt_sharding
         self._profiling = False
         os.makedirs(logdir, exist_ok=True)
         self.metrics = MetricLogger(logdir)
         self.images = ImageLogger(logdir, batch_frequency=image_log_frequency)
+
+    def _state_shardings(self, state, opt_fields):
+        """NamedTuple-shaped sharding tree: optimizer fields ZeRO-1-sharded
+        over dp, everything else replicated. None when opt_sharding is off
+        (jit then infers from argument placement)."""
+        if not self.opt_sharding:
+            return None
+        from ..parallel.mesh import opt_state_shardings, replicated
+
+        repl = replicated(self.mesh)
+        tree = jax.tree_util.tree_map(lambda _: repl, state)
+        return tree._replace(**{
+            f: opt_state_shardings(self.mesh, getattr(state, f))
+            for f in opt_fields
+        })
 
     def _group_microbatches(self, gen):
         """Yield pytrees of step inputs: pass-through at accum=1, else stacked
@@ -164,7 +183,11 @@ class Trainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         x_sh = b_sh if self.accum == 1 else NamedSharding(self.mesh, P(None, "dp"))
-        step_fn = jax.jit(trainer.train_step, in_shardings=(None, x_sh, None),
+        st_sh = self._state_shardings(state, ("ae_opt", "disc_opt"))
+        if st_sh is not None:
+            state = jax.device_put(state, st_sh)
+        step_fn = jax.jit(trainer.train_step, in_shardings=(st_sh, x_sh, None),
+                          out_shardings=(st_sh, None) if st_sh else None,
                           donate_argnums=(0,))
         eval_fn = jax.jit(trainer.eval_step, in_shardings=(None, b_sh))
         forward_fn = jax.jit(
@@ -284,8 +307,12 @@ class Trainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         x_sh = b_sh if self.accum == 1 else NamedSharding(self.mesh, P(None, "dp"))
+        st_sh = self._state_shardings(state, ("opt",))
+        if st_sh is not None:
+            state = jax.device_put(state, st_sh)
         step_fn = jax.jit(trainer.train_step,
-                          in_shardings=(None, None, x_sh, x_sh, None),
+                          in_shardings=(st_sh, None, x_sh, x_sh, None),
+                          out_shardings=(st_sh, None) if st_sh else None,
                           donate_argnums=(0,))
         eval_fn = jax.jit(trainer.eval_step, in_shardings=(None, None, b_sh, b_sh))
 

@@ -43,6 +43,9 @@ def get_parser():
     p.add_argument("--max_steps_per_epoch", type=int, default=None,
                    help="cap steps (smoke runs)")
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
+    p.add_argument("--activate_ddp_share", action="store_true",
+                   help="shard optimizer state over the dp axis (the "
+                        "reference's ddp_sharded / ZeRO-1 strategy)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace of the first N train "
                         "steps to <logdir>/profile (view with Perfetto/XProf)")
@@ -124,6 +127,7 @@ def main():
         resume=bool(opt.resume),
         profile_steps=opt.profile_steps,
         accumulate_grad_batches=opt.accumulate_grad_batches,
+        opt_sharding=opt.activate_ddp_share,
     )
     do_train = str(opt.train).lower() not in ("false", "0", "no")
     with mesh:
