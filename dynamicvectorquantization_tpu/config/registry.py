@@ -62,7 +62,7 @@ TARGET_ALIASES = {
     "models.stage1.rqvae.VQModel": f"{_PKG}.models.vqgan.RQModel",
     # ---- legacy quantizers ----
     "modules.vector_quantization.quantize_vqgan.VectorQuantizer": f"{_PKG}.ops.quantizers.VectorQuantizer",
-    "modules.vector_quantization.quantize_vqgan.VectorQuantizer2": f"{_PKG}.ops.quantizers.VectorQuantizer",
+    "modules.vector_quantization.quantize_vqgan.VectorQuantizer2": f"{_PKG}.ops.quantizers.VectorQuantizer2",
     "modules.vector_quantization.quantize.VectorQuantizer": f"{_PKG}.ops.quantizers.VectorQuantizer",
     "modules.vector_quantization.quantize_vqgan.GumbelQuantize": f"{_PKG}.ops.quantizers.GumbelQuantize",
     "modules.vector_quantization.quantize_vqgan.EMAVectorQuantizer": f"{_PKG}.ops.quantizers.EMAVectorQuantizer",
@@ -89,6 +89,21 @@ TARGET_ALIASES = {
     # ---- legacy conditioners ----
     "utils.utils.SOSProvider": f"{_PKG}.models.legacy_transformer.SOSProvider",
     "utils.utils.Labelator": f"{_PKG}.models.legacy_transformer.Labelator",
+    # ---- masked attention decoder (attn_model experiments) ----
+    "modules.diffusionmodules.attn_model.AttnDecoder": f"{_PKG}.nn.attn_decoder.AttnDecoder",
+    "modules.diffusionmodules.attn_model.TokenReconstruction": f"{_PKG}.nn.attn_decoder.TokenReconstruction",
+    "modules.diffusionmodules.attn_model.SelfAttnBlock": f"{_PKG}.nn.attn_decoder.MaskedSelfAttnBlock",
+    "modules.diffusionmodules.attn_model.BiasedSelfAttnBlock": f"{_PKG}.nn.attn_decoder.MaskedSelfAttnBlock",
+    "modules.diffusionmodules.attn_model.ResnetBlock_kernel_1": f"{_PKG}.nn.attn_decoder.ResnetBlockK1",
+    # ---- trainer-internal callbacks/loggers (reference train.py defaults;
+    #      functionality is native to our Trainer — see each shim's docstring) ----
+    "utils.logger.SetupCallback": f"{_PKG}.utils.logging.SetupCallback",
+    "utils.logger.CaptionImageLogger": f"{_PKG}.utils.logging.ImageLogger",
+    "pytorch_lightning.callbacks.ModelCheckpoint": f"{_PKG}.utils.logging.LightningShim",
+    "pytorch_lightning.callbacks.LearningRateMonitor": f"{_PKG}.utils.logging.LightningShim",
+    "pytorch_lightning.callbacks.RichModelSummary": f"{_PKG}.utils.logging.LightningShim",
+    "pytorch_lightning.loggers.TensorBoardLogger": f"{_PKG}.utils.logging.LightningShim",
+    "pytorch_lightning.loggers.WandbLogger": f"{_PKG}.utils.logging.LightningShim",
     # ---- data ----
     "data.build.DataModuleFromConfig": f"{_PKG}.data.datasets.DataModuleFromConfig",
     "data.imagenet.ImageNetTrain": f"{_PKG}.data.datasets.ImageNetTrain",

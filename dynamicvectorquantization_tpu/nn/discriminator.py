@@ -10,20 +10,50 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from .init import normal_init
 
 
 class ActNorm(nn.Module):
-    """Per-channel affine (flow-style ActNorm without data-dependent init;
-    reference `utils/utils.py:58-140`)."""
+    """Per-channel affine with data-dependent init (reference
+    `utils/utils.py:58-140`): at module init (= the reference's first training
+    forward) loc/scale are set so the first batch's channels come out
+    zero-mean unit-std; afterwards they are ordinary learned params.
+
+    Flax-native DDI: the param initializers close over the init-time input —
+    equivalent to torch's initialized-flag buffer, but without carrying
+    mutable state through every apply. `reverse=True` inverts the affine
+    (reference `ActNorm.reverse`); `logdet=True` additionally returns the
+    flow log-determinant.
+    """
+
+    logdet: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, reverse: bool = False):
         c = x.shape[-1]
-        loc = self.param("loc", nn.initializers.zeros, (c,))
-        scale = self.param("scale", nn.initializers.ones, (c,))
-        return (x + loc) * scale
+        flat = x.reshape(-1, c)
+
+        def init_loc(_rng):
+            return -jnp.mean(flat, axis=0)
+
+        def init_scale(_rng):
+            # torch .std(): Bessel-corrected
+            std = jnp.std(flat, axis=0, ddof=1 if flat.shape[0] > 1 else 0)
+            return 1.0 / (std + 1e-6)
+
+        loc = self.param("loc", init_loc)
+        scale = self.param("scale", init_scale)
+        if reverse:
+            return x / scale - loc
+        h = (x + loc) * scale
+        if self.logdet:
+            hw = int(np.prod(x.shape[1:-1])) if x.ndim > 2 else 1
+            log_abs = jnp.log(jnp.abs(scale))
+            logdet = hw * jnp.sum(log_abs) * jnp.ones(x.shape[0], x.dtype)
+            return h, logdet
+        return h
 
 
 class NLayerDiscriminator(nn.Module):

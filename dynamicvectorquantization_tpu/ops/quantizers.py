@@ -57,6 +57,107 @@ class VectorQuantizer(nn.Module):
         return jnp.take(emb, indices, axis=0)
 
 
+class VectorQuantizer2(nn.Module):
+    """taming VectorQuantizer2 (reference `quantize_vqgan.py:213-341`):
+    gradient-trained codebook with optional post-hoc index remap.
+
+    * ``legacy=True`` (reference default) replicates the upstream beta-on-the-
+      wrong-term bug: loss = ||sg(z)-e||^2 + beta ||z-sg(e)||^2 becomes
+      beta applied to the CODEBOOK term instead of the commitment term.
+    * ``remap``: path to an .npy of "used" code ids; emitted indices are
+      positions into that list, with unseen codes mapped to ``unknown_index``
+      ("random" draws a uniform used-position — pass an "rng" stream —
+      "extra" appends a dedicated id, or give an int).
+    * ``sane_index_shape``: (B, H, W) indices instead of the reference's
+      flattened (N, 1).
+    """
+
+    n_e: int = 1024
+    e_dim: int = 256
+    beta: float = 0.25
+    remap: Optional[str] = None
+    unknown_index: str | int = "random"
+    sane_index_shape: bool = False
+    legacy: bool = True
+    use_pallas: Optional[bool] = None
+
+    def _used(self):
+        import numpy as np
+
+        return jnp.asarray(np.load(self.remap))
+
+    @property
+    def re_embed(self):
+        if self.remap is None:
+            return self.n_e
+        import numpy as np
+
+        n_used = int(np.load(self.remap).shape[0])
+        return n_used + 1 if self.unknown_index == "extra" else n_used
+
+    def remap_to_used(self, inds):
+        used = self._used()
+        match = inds[..., None] == used
+        new = jnp.argmax(match, axis=-1)
+        unknown = ~jnp.any(match, axis=-1)
+        if self.unknown_index == "random":
+            rnd = jax.random.randint(
+                self.make_rng("rng"), new.shape, 0, self.re_embed
+            )
+            fill = rnd
+        elif self.unknown_index == "extra":
+            fill = jnp.full_like(new, used.shape[0])
+        else:
+            fill = jnp.full_like(new, int(self.unknown_index))
+        return jnp.where(unknown, fill, new)
+
+    def unmap_to_all(self, inds):
+        used = self._used()
+        if self.re_embed > used.shape[0]:  # extra token -> 0
+            inds = jnp.where(inds >= used.shape[0], 0, inds)
+        return jnp.take(used, inds, axis=0)
+
+    @nn.compact
+    def __call__(self, z, temp=None, codebook_mask=None, train: bool = False, **_):
+        emb = self.param(
+            "embedding",
+            lambda k, s: jax.random.uniform(
+                k, s, jnp.float32, -1.0 / self.n_e, 1.0 / self.n_e
+            ),
+            (self.n_e, self.e_dim),
+        )
+        flat = z.reshape(-1, self.e_dim)
+        idx, _ = nearest_codes(
+            jax.lax.stop_gradient(flat), jax.lax.stop_gradient(emb), self.use_pallas
+        )
+        z_q = jnp.take(emb, idx, axis=0).reshape(z.shape)
+        codebook_term = jnp.mean((jax.lax.stop_gradient(z) - z_q) ** 2)
+        commit_term = jnp.mean((z - jax.lax.stop_gradient(z_q)) ** 2)
+        if self.legacy:
+            # upstream bug: beta lands on the CODEBOOK term
+            # (`quantize_vqgan.py:295-297`)
+            loss = commit_term + self.beta * codebook_term
+        else:
+            loss = self.beta * commit_term + codebook_term
+        z_q = z + jax.lax.stop_gradient(z_q - z)
+
+        code = idx.reshape(z.shape[:-1])  # (B, H, W)
+        if self.remap is not None:
+            code = self.remap_to_used(code)
+        if not self.sane_index_shape:
+            code = code.reshape(-1, 1)
+        return z_q, loss, (None, None, code)
+
+    def get_codebook_entry(self, indices, shape=None):
+        if self.remap is not None:
+            indices = self.unmap_to_all(indices)
+        emb = self.get_variable("params", "embedding")
+        z_q = jnp.take(emb, indices, axis=0)
+        if shape is not None:  # reference shape = (B, H, W, C)
+            z_q = z_q.reshape(shape)
+        return z_q
+
+
 class GumbelQuantize(nn.Module):
     """Soft gumbel-softmax quantization with KL-to-uniform regularizer
     (taming GumbelQuantize)."""

@@ -44,6 +44,7 @@ class Trainer:
         profile_steps: int = 0,
         accumulate_grad_batches: int = 1,
         opt_sharding: bool = False,
+        logtype: str = "csv",
     ):
         self.logdir = logdir
         self.max_epochs = max_epochs
@@ -64,7 +65,7 @@ class Trainer:
         self.opt_sharding = opt_sharding
         self._profiling = False
         os.makedirs(logdir, exist_ok=True)
-        self.metrics = MetricLogger(logdir)
+        self.metrics = MetricLogger(logdir, logtype=logtype)
         self.images = ImageLogger(logdir, batch_frequency=image_log_frequency)
 
     def _state_shardings(self, state, opt_fields):
@@ -221,6 +222,8 @@ class Trainer:
                     logs_np["images_per_sec"] = (
                         self.accum * x_vis.shape[0] * (bi + 1) / (time.time() - t0)
                     )
+                    # reference LearningRateMonitor (train.py:207-213)
+                    logs_np["lr"] = float(trainer.ae_schedule(gs))
                     self.metrics.log(gs, logs_np, "train")
                 if self.images.should_log(bi):
                     self._log_stage1_images(model, forward_fn, state, x_vis,
@@ -342,8 +345,9 @@ class Trainer:
                 self._maybe_profile(int(state.step))
                 state, logs = step_fn(state, variables, x, c, sub)
                 if bi % self.log_every == 0:
-                    self.metrics.log(int(state.step),
-                                     {k: float(v) for k, v in logs.items()}, "train")
+                    logs_np = {k: float(v) for k, v in logs.items()}
+                    logs_np["lr"] = float(trainer.schedule(int(state.step)))
+                    self.metrics.log(int(state.step), logs_np, "train")
                 if self.images.should_log(bi):
                     self._log_stage2_images(
                         model, variables, state,

@@ -18,12 +18,33 @@ import numpy as np
 
 
 class MetricLogger:
-    def __init__(self, logdir: str):
+    """JSONL + CSV always; optional TensorBoard event files (the reference's
+    TensorBoardLogger, `train.py:128-150`) when ``logtype`` includes
+    "tensorboard" — scalars land under <logdir>/tb/ tagged <split>/<name>."""
+
+    def __init__(self, logdir: str, logtype: str = "csv"):
         self.logdir = logdir
         os.makedirs(logdir, exist_ok=True)
         self.jsonl_path = os.path.join(logdir, "metrics.jsonl")
         self._csv_path = os.path.join(logdir, "metrics.csv")
         self._csv_keys = None
+        self._tb = None
+        if "tensorboard" in logtype or logtype == "all":
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(os.path.join(logdir, "tb"))
+        if "wandb" in logtype:
+            try:
+                import wandb
+
+                wandb.init(project=os.environ.get("WANDB_PROJECT", "dqvq-tpu"),
+                           dir=logdir)
+                self._wandb = wandb
+            except ImportError:
+                print("wandb not installed; skipping wandb sink")
+                self._wandb = None
+        else:
+            self._wandb = None
 
     def log(self, step: int, metrics: Mapping[str, float], split: str = "train"):
         row = {"step": int(step), "split": split, "time": time.time()}
@@ -36,6 +57,17 @@ class MetricLogger:
                 csv.writer(f).writerow(self._csv_keys)
         with open(self._csv_path, "a", newline="") as f:
             csv.writer(f).writerow([row.get(k, "") for k in self._csv_keys])
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(f"{split}/{k}", float(v), int(step))
+        if self._wandb is not None:
+            self._wandb.log({f"{split}/{k}": float(v) for k, v in metrics.items()},
+                            step=int(step))
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.flush()
+            self._tb.close()
 
 
 def to_uint8(img):
@@ -60,11 +92,31 @@ def make_grid(images, ncol=4, pad=2):
     return grid
 
 
+class SetupCallback:
+    """Registry shim for `utils.logger.SetupCallback`: the Trainer snapshots
+    the merged config + argv natively (train.py); this class only keeps
+    reference train-config blobs instantiable."""
+
+    def __init__(self, **kwargs):
+        self.kwargs = kwargs
+
+
+class LightningShim:
+    """Accepts any kwargs; stands in for pytorch_lightning callbacks/loggers
+    (ModelCheckpoint -> orbax top-k+last, LearningRateMonitor -> per-step lr
+    metric, TensorBoardLogger -> --logtype tensorboard, RichModelSummary /
+    WandbLogger -> native printing / --logtype wandb)."""
+
+    def __init__(self, *args, **kwargs):
+        self.args, self.kwargs = args, kwargs
+
+
 class ImageLogger:
     """PNG grid dumps mirroring CaptionImageLogger.log_local
     (`utils/logger.py:105-147`)."""
 
-    def __init__(self, logdir: str, batch_frequency: int = 50, max_images: int = 4):
+    def __init__(self, logdir: str = "logs", batch_frequency: int = 50,
+                 max_images: int = 4, **_reference_kwargs):
         self.root = os.path.join(logdir, "images")
         self.batch_frequency = batch_frequency
         self.max_images = max_images

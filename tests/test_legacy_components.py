@@ -1,0 +1,224 @@
+"""Round-2 legacy rows: AttnDecoder family, VectorQuantizer2 (remap/legacy),
+ActNorm data-dependent init, full registry coverage of reference target
+strings, and the TensorBoard metric sink."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamicvectorquantization_tpu.nn.attn_decoder import (
+    AttnDecoder,
+    MaskedSelfAttnBlock,
+    TokenReconstruction,
+)
+from dynamicvectorquantization_tpu.nn.discriminator import ActNorm
+from dynamicvectorquantization_tpu.ops.quantizers import VectorQuantizer2
+
+
+# --------------------------------------------------------------- attn_model
+@pytest.mark.parametrize("attn_type,mode", [("self-attn", "square"),
+                                            ("bias-self-attn", "linear")])
+def test_attn_decoder_forward(rng, attn_type, mode):
+    dec = AttnDecoder(
+        ch=16, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+        attn_resolutions=(8,), resolution=16, z_channels=8,
+        token_n_layer=2, token_attn_type=attn_type, mask_update_mode=mode,
+        reweight=(attn_type == "bias-self-attn"),
+    )
+    z = jax.random.normal(rng, (2, 8, 8, 8))
+    mask = (jax.random.uniform(jax.random.PRNGKey(1), (2, 64)) > 0.5).astype(
+        jnp.float32
+    )
+    variables = dec.init(rng, z, mask)
+    out = dec.apply(variables, z, mask)
+    assert out.shape == (2, 16, 16, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # mask actually enters the biased variant
+    if attn_type == "bias-self-attn":
+        out2 = dec.apply(variables, z, jnp.ones_like(mask))
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_token_reconstruction_mask_anneal(rng):
+    tr = TokenReconstruction(n_layer=3, input_dim=8, attn_type="bias-self-attn",
+                             mask_update_mode="cube")
+    x = jax.random.normal(rng, (1, 4, 4, 8))
+    mask = jnp.zeros((1, 16)).at[:, :4].set(1.0)
+    variables = tr.init(rng, x, mask)
+    out = tr.apply(variables, x, mask)
+    assert out.shape == x.shape and np.all(np.isfinite(np.asarray(out)))
+
+
+def test_masked_attn_reweight_rows_sum_to_one(rng):
+    """With reweight=True the masked rows renormalize: a fully-visible mask
+    must reproduce the unmasked output exactly."""
+    blk = MaskedSelfAttnBlock(8, reweight=True)
+    x = jax.random.normal(rng, (1, 4, 4, 8))
+    variables = blk.init(rng, x)
+    a = blk.apply(variables, x, mask=jnp.ones((1, 16)))
+    b = blk.apply(variables, x, mask=None)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------- VectorQuantizer2
+def test_vq2_legacy_vs_fixed_loss(rng):
+    """The legacy/fixed split only shows in GRADIENTS (values coincide):
+    legacy puts beta on the codebook term (`quantize_vqgan.py:295-297`), so
+    grad wrt the embedding scales by beta while grad wrt z does not."""
+    z = jax.random.normal(rng, (2, 4, 4, 8))
+    q_leg = VectorQuantizer2(n_e=16, e_dim=8, beta=0.25, legacy=True,
+                             use_pallas=False, sane_index_shape=True)
+    q_fix = VectorQuantizer2(n_e=16, e_dim=8, beta=0.25, legacy=False,
+                             use_pallas=False, sane_index_shape=True)
+    v = q_leg.init(rng, z)
+    _, loss_leg, (_, _, code) = q_leg.apply(v, z)
+    _, loss_fix, _ = q_fix.apply(v, z)
+    assert code.shape == (2, 4, 4)
+    np.testing.assert_allclose(float(loss_leg), float(loss_fix), rtol=1e-6)
+
+    def loss_of(q):
+        def f(params, z):
+            _, loss, _ = q.apply({"params": params}, z)
+            return loss
+        return jax.grad(f, argnums=(0, 1))(v["params"], z)
+
+    (g_emb_leg,), g_z_leg = (loss_of(q_leg)[0].values(), loss_of(q_leg)[1])
+    (g_emb_fix,), g_z_fix = (loss_of(q_fix)[0].values(), loss_of(q_fix)[1])
+    # codebook grad: legacy = beta * fixed
+    np.testing.assert_allclose(np.asarray(g_emb_leg),
+                               0.25 * np.asarray(g_emb_fix), rtol=1e-5,
+                               atol=1e-7)
+    # z grad (commitment + straight-through): fixed = beta-weighted commit
+    assert not np.allclose(np.asarray(g_z_leg), np.asarray(g_z_fix))
+
+
+def test_vq2_remap(tmp_path, rng):
+    used = np.array([3, 7, 11], dtype=np.int64)
+    path = os.path.join(tmp_path, "used.npy")
+    np.save(path, used)
+
+    q = VectorQuantizer2(n_e=16, e_dim=8, beta=0.25, remap=path,
+                         unknown_index="extra", sane_index_shape=True,
+                         use_pallas=False)
+    assert q.re_embed == 4  # 3 used + extra
+
+    # remap_to_used: known codes -> positions, unknown -> extra id (3)
+    inds = jnp.array([[3, 7, 11, 5]])
+    out = q.remap_to_used(inds)
+    np.testing.assert_array_equal(np.asarray(out), [[0, 1, 2, 3]])
+    # unmap: positions back to codebook ids; extra -> 0 -> used[0]
+    back = q.unmap_to_all(out)
+    np.testing.assert_array_equal(np.asarray(back), [[3, 7, 11, 3]])
+
+    q_int = VectorQuantizer2(n_e=16, e_dim=8, remap=path, unknown_index=1,
+                             use_pallas=False)
+    out = q_int.remap_to_used(jnp.array([[5, 7]]))
+    np.testing.assert_array_equal(np.asarray(out), [[1, 1]])
+
+    # full forward emits remapped indices
+    z = jax.random.normal(rng, (1, 2, 2, 8))
+    v = q.init(rng, z)
+    _, _, (_, _, code) = q.apply(v, z)
+    assert int(np.asarray(code).max()) < q.re_embed
+
+
+# ------------------------------------------------------------------ ActNorm
+def test_actnorm_data_dependent_init(rng):
+    x1 = jax.random.normal(rng, (8, 4, 4, 6)) * 3.0 + 1.5
+    an = ActNorm()
+    variables = an.init(rng, x1)
+    # DDI: the init batch comes out ~zero-mean unit-std per channel
+    y = an.apply(variables, x1)
+    y = np.asarray(y).reshape(-1, 6)
+    np.testing.assert_allclose(y.mean(0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(y.std(0, ddof=1), 1.0, atol=1e-3)
+    # reverse inverts
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 4, 6))
+    fwd = an.apply(variables, x2)
+    back = an.apply(variables, fwd, reverse=True)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x2), rtol=1e-4,
+                               atol=1e-5)
+    # logdet variant
+    an_ld = ActNorm(logdet=True)
+    v2 = an_ld.init(rng, x1)
+    h, logdet = an_ld.apply(v2, x2)
+    assert logdet.shape == (2,)
+
+
+def test_actnorm_matches_reference_torch():
+    torch = pytest.importorskip("torch")
+    import pathlib
+    import sys
+    import types
+
+    ref_root = pathlib.Path("/root/reference")
+    if not ref_root.exists():
+        pytest.skip("reference repo not available")
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+        pl.LightningModule = torch.nn.Module
+        sys.modules["pytorch_lightning"] = pl
+    if str(ref_root) not in sys.path:
+        sys.path.insert(0, str(ref_root))
+    from utils.utils import ActNorm as RefActNorm
+
+    g = np.random.default_rng(0)
+    x1 = g.normal(size=(8, 6, 4, 4)).astype(np.float32) * 2.0 + 0.5
+    x2 = g.normal(size=(2, 6, 4, 4)).astype(np.float32)
+
+    ref = RefActNorm(6).train()
+    with torch.no_grad():
+        _ = ref(torch.from_numpy(x1))  # triggers DDI
+        ref = ref.eval()
+        r2 = ref(torch.from_numpy(x2)).numpy()
+
+    ours = ActNorm()
+    nhwc1 = np.transpose(x1, (0, 2, 3, 1))
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(nhwc1))
+    o2 = ours.apply(variables, jnp.asarray(np.transpose(x2, (0, 2, 3, 1))))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(o2), (0, 3, 1, 2)), r2, rtol=1e-4, atol=1e-5
+    )
+
+
+# ----------------------------------------------------------------- registry
+def test_registry_resolves_every_reference_target():
+    """Every `target:` string appearing anywhere in the reference tree must
+    resolve to an importable class here (VERDICT r1 item #9)."""
+    import importlib
+    import pathlib
+    import re
+
+    ref = pathlib.Path("/root/reference")
+    if not ref.exists():
+        pytest.skip("reference repo not available")
+    from dynamicvectorquantization_tpu.config.registry import resolve_target
+
+    targets = set()
+    for p in ref.rglob("*.yml"):
+        targets.update(re.findall(r"target: ([\w.]+)", p.read_text()))
+    for p in ref.rglob("*.py"):
+        targets.update(
+            re.findall(r"\"?target\"?\s*[:=]\s*\"([\w.]+)\"", p.read_text())
+        )
+    assert len(targets) >= 30
+    for t in sorted(targets):
+        resolved = resolve_target(t)
+        mod, cls = resolved.rsplit(".", 1)
+        obj = getattr(importlib.import_module(mod), cls, None)
+        assert obj is not None, f"{t} -> {resolved} not importable"
+
+
+# --------------------------------------------------------------- TB metrics
+def test_tensorboard_sink(tmp_path):
+    from dynamicvectorquantization_tpu.utils.logging import MetricLogger
+
+    m = MetricLogger(str(tmp_path), logtype="tensorboard")
+    m.log(1, {"train_loss": 0.5, "lr": 1e-4}, "train")
+    m.log(2, {"val_loss": 0.4}, "val")
+    m.close()
+    tb_files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert tb_files, "no tensorboard event file written"
+    assert (tmp_path / "metrics.jsonl").exists()

@@ -43,6 +43,9 @@ def get_parser():
     p.add_argument("--max_steps_per_epoch", type=int, default=None,
                    help="cap steps (smoke runs)")
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
+    p.add_argument("--logtype", type=str, default="csv",
+                   help="metric sinks: csv | tensorboard | wandb | all "
+                        "(csv/jsonl always written)")
     p.add_argument("--activate_ddp_share", action="store_true",
                    help="shard optimizer state over the dp axis (the "
                         "reference's ddp_sharded / ZeRO-1 strategy)")
@@ -128,6 +131,7 @@ def main():
         profile_steps=opt.profile_steps,
         accumulate_grad_batches=opt.accumulate_grad_batches,
         opt_sharding=opt.activate_ddp_share,
+        logtype=opt.logtype,
     )
     do_train = str(opt.train).lower() not in ("false", "0", "no")
     with mesh:
