@@ -72,11 +72,22 @@ def main():
         float(out[0].sum())
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
+    # Reference sampler anchor (analytic — the reference publishes no
+    # sampling throughput): `stackgpt.py:234-340` recomputes the FULL prefix
+    # through both stacks for every generated token, no KV cache. At p6c18
+    # (24 layers, d=1024, T~=800 tokens/image) that is
+    #   sum_t 24 * 12*d^2 * 2 * t  ~=  0.6 GFLOP * 800^2/2  ~=  192 TFLOP/img
+    # (+ ~20% attention O(t^2) terms). An A100's 312 bf16-TFLOP/s peak bounds
+    # it at <= 1.6 img/s even at impossible 100% MXU utilization; at a
+    # realistic 40% it is ~0.65 img/s. vs_reference_est uses the GENEROUS
+    # 100%-utilization bound, so the multiple is a floor.
+    A100_SAMPLE_IPS_CEILING = 1.6
     print(json.dumps({
         "metric": "dqtransformer_sample_images_per_sec_per_chip",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": None,
+        "vs_reference_est": round(ips / A100_SAMPLE_IPS_CEILING, 2),
     }))
 
 

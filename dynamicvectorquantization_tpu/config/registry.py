@@ -78,6 +78,10 @@ TARGET_ALIASES = {
     "models.stage2.uncond_transformer.Net2NetTransformer": f"{_PKG}.models.legacy_transformer.UncondTransformer",
     "models.stage2.class_transformer.ClassTransformer": f"{_PKG}.models.legacy_transformer.ClassTransformer",
     "models.stage2.class_transformer.Net2NetTransformer": f"{_PKG}.models.legacy_transformer.ClassTransformer",
+    "models.stage2.text2image_transformer.Text2ImageTransformer": f"{_PKG}.models.legacy_transformer.Text2ImageTransformer",
+    "models.stage2.text2image_transformer2.Text2ImageTransformer": f"{_PKG}.models.legacy_transformer.Text2ImageTransformer2",
+    "models.stage2.uncond_rqtransformer.RQTransformerTrainer": f"{_PKG}.models.legacy_transformer.RQTransformerTrainer",
+    "modules.transformer.mingpt_t2i.T2IGPT": f"{_PKG}.nn.mingpt.GPT",
     # ---- legacy sequence permuters ----
     "modules.transformer.permuter.Identity": f"{_PKG}.models.sequence_permuters.Identity",
     "modules.transformer.permuter.Subsample": f"{_PKG}.models.sequence_permuters.Subsample",

@@ -222,3 +222,195 @@ def test_tensorboard_sink(tmp_path):
     tb_files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
     assert tb_files, "no tensorboard event file written"
     assert (tmp_path / "metrics.jsonl").exists()
+
+
+# --------------------------------------------------- fixed-length t2i models
+def _tiny_vqgan(vocab=32):
+    from dynamicvectorquantization_tpu.models.vqgan import VQModel
+
+    dd = dict(ch=16, ch_mult=[1, 2, 4], num_res_blocks=1, attn_resolutions=[4],
+              dropout=0.0, in_channels=3, resolution=16, z_channels=16)
+    vq = {"target": "dynamicvectorquantization_tpu.ops.quantizers.VectorQuantizer",
+          "params": {"n_e": vocab, "e_dim": 16, "use_pallas": False}}
+    return VQModel(dd, lossconfig=None, vqconfig=vq, embed_dim=16)
+
+
+@pytest.mark.parametrize("variant2", [False, True])
+def test_text2image_transformer(rng, variant2):
+    from dynamicvectorquantization_tpu.models.legacy_transformer import (
+        Text2ImageTransformer,
+        Text2ImageTransformer2,
+    )
+
+    text_vocab, image_vocab = 10, 32
+    cls = Text2ImageTransformer2 if variant2 else Text2ImageTransformer
+    model = cls(
+        transformer_config={
+            "target": "modules.transformer.mingpt_t2i.T2IGPT" if variant2
+            else "modules.transformer.mingpt.GPT",
+            "params": {
+                "vocab_size": text_vocab + image_vocab,
+                "block_size": 64,
+                "n_layer": 2,
+                "n_head": 2,
+                "n_embd": 16,
+                **({"segment_size": 2} if variant2 else {}),
+            },
+        },
+        first_stage_config={
+            "target": "models.stage1.vqgan.VQModel",
+            "params": {
+                "ddconfig": dict(ch=16, ch_mult=[1, 2, 4], num_res_blocks=1,
+                                 attn_resolutions=[4], dropout=0.0,
+                                 in_channels=3, resolution=16, z_channels=16),
+                "lossconfig": None,
+                "vqconfig": {
+                    "target": "dynamicvectorquantization_tpu.ops.quantizers.VectorQuantizer",
+                    "params": {"n_e": image_vocab, "e_dim": 16,
+                               "use_pallas": False},
+                },
+                "embed_dim": 16,
+            },
+        },
+        text_loss_radio=0.3,
+        text_vocab_size=text_vocab,
+        image_vocab_size=image_vocab,
+        pkeep=0.9,
+    )
+    fs_vars = model.first_stage_model.init(jax.random.PRNGKey(0))
+    variables = model.init(jax.random.PRNGKey(1), fs_vars)
+
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3),
+                           minval=-1, maxval=1)
+    captions = jax.random.randint(jax.random.PRNGKey(3), (2, 5), 0, text_vocab)
+
+    total, image_loss, text_loss = model.forward(variables, x, captions)
+    for v in (total, image_loss, text_loss):
+        assert np.isfinite(float(v))
+    np.testing.assert_allclose(
+        float(total), 0.3 * float(text_loss) + 0.7 * float(image_loss),
+        rtol=1e-5,
+    )
+    # pkeep masking path (train, with rng)
+    t2, *_ = model.forward(
+        variables, x, captions, train=True,
+        rngs={"pkeep": jax.random.PRNGKey(4), "dropout": jax.random.PRNGKey(5)},
+    )
+    assert np.isfinite(float(t2))
+    # sampling produces image-space codes
+    out = model.sample(variables, captions, steps=16, rng=jax.random.PRNGKey(6),
+                       top_k=8)
+    assert out.shape == (2, 16)
+    assert int(np.asarray(out).min()) >= 0
+
+
+def test_text2image_instantiable_from_registry():
+    """The reference target strings must build our classes with first-stage
+    configs resolved through the registry."""
+    from dynamicvectorquantization_tpu.utils.instantiate import (
+        instantiate_from_config,
+    )
+
+    cfg = {
+        "target": "models.stage2.text2image_transformer.Text2ImageTransformer",
+        "params": {
+            "transformer_config": {
+                "target": "modules.transformer.mingpt.GPT",
+                "params": {"vocab_size": 42, "block_size": 32, "n_layer": 1,
+                           "n_head": 2, "n_embd": 8},
+            },
+            "first_stage_config": {
+                "target": "models.stage1.vqgan.VQModel",
+                "params": {
+                    "ddconfig": dict(ch=16, ch_mult=[1, 2], num_res_blocks=1,
+                                     attn_resolutions=[], dropout=0.0,
+                                     in_channels=3, resolution=8,
+                                     z_channels=16),
+                    "lossconfig": None,
+                    "n_embed": 32,
+                    "embed_dim": 16,
+                },
+            },
+            "text_vocab_size": 10,
+            "image_vocab_size": 32,
+        },
+    }
+    model = instantiate_from_config(cfg)
+    assert model.text_vocab_size == 10
+
+
+# --------------------------------------------------------- RQ transformer
+def test_rq_transformer_train_and_sample(rng):
+    from dynamicvectorquantization_tpu.nn.rq_transformer import (
+        RQTransformer,
+        sample_rq,
+    )
+
+    t = RQTransformer(vocab_size=16, spatial_size=4, depth=3, cond_length=1,
+                      spatial_layer=2, depth_layer=1, n_head=2, n_embd=16)
+    codes = jax.random.randint(jax.random.PRNGKey(1), (2, 2, 2, 3), 0, 16)
+    c_idx = jnp.zeros((2, 1), jnp.int32)
+    variables = t.init({"params": rng, "dropout": rng}, codes, c_idx)
+
+    loss = t.apply(variables, codes, c_idx, return_loss=True)
+    assert np.isfinite(float(loss))
+    logits = t.apply(variables, codes, c_idx, return_loss=False)
+    assert logits.shape == (2, 4, 3, 16)
+
+    # teacher-forced logits at (t, d) must not depend on codes at (t' >= t)
+    # nor on deeper codes (d' >= d) of the same position
+    codes2 = codes.at[:, 1, 1, :].set((codes[:, 1, 1, :] + 1) % 16)
+    logits2 = t.apply(variables, codes2, c_idx, return_loss=False)
+    np.testing.assert_allclose(np.asarray(logits[:, 0]), np.asarray(logits2[:, 0]),
+                               rtol=1e-5, atol=1e-6)
+    codes3 = codes.at[:, 0, 0, 2].set((codes[:, 0, 0, 2] + 1) % 16)
+    logits3 = t.apply(variables, codes3, c_idx, return_loss=False)
+    np.testing.assert_allclose(
+        np.asarray(logits[:, 0, :2]), np.asarray(logits3[:, 0, :2]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    out = sample_rq(t, variables, (2, 2, 2, 3), c_idx, jax.random.PRNGKey(7),
+                    top_k=8)
+    assert out.shape == (2, 2, 2, 3)
+    assert 0 <= int(np.asarray(out).min()) and int(np.asarray(out).max()) < 16
+
+
+def test_rq_transformer_trainer_bundle(rng):
+    from dynamicvectorquantization_tpu.models.legacy_transformer import (
+        RQTransformerTrainer,
+    )
+
+    trainer = RQTransformerTrainer(
+        transformer_config={
+            "target": "dynamicvectorquantization_tpu.nn.rq_transformer.RQTransformer",
+            "params": {"vocab_size": 32, "spatial_size": 16, "depth": 3,
+                       "cond_length": 1, "spatial_layer": 2, "depth_layer": 1,
+                       "n_head": 2, "n_embd": 16},
+        },
+        first_stage_config={
+            "target": "models.stage1.rqvae.RQModel",
+            "params": {
+                "ddconfig": dict(ch=16, ch_mult=[1, 2, 4], num_res_blocks=1,
+                                 attn_resolutions=[4], dropout=0.0,
+                                 in_channels=3, resolution=16, z_channels=16),
+                "lossconfig": None,
+                "rqconfig": {
+                    "target": "modules.vector_quantization.quantize_rqvae.RQBottleneck",
+                    "params": {"latent_shape": [4, 4, 16],
+                               "code_shape": [4, 4, 3], "n_embed": 32,
+                               "use_pallas": False},
+                },
+            },
+        },
+    )
+    fs_vars = trainer.first_stage_model.init(jax.random.PRNGKey(0))
+    variables = trainer.init(jax.random.PRNGKey(1), fs_vars)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3),
+                           minval=-1, maxval=1)
+    loss = trainer.forward(variables, x, x)
+    assert np.isfinite(float(loss))
+    imgs = trainer.log_images(variables, {"image": np.asarray(x)},
+                              rng=jax.random.PRNGKey(3), top_k=8)
+    assert set(imgs) == {"inputs", "reconstructions", "sample"}
+    assert imgs["sample"].shape == (2, 16, 16, 3)
