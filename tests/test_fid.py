@@ -31,3 +31,49 @@ def test_compute_statistics_shapes():
     mu, sigma = compute_statistics(batches, feature_fn)
     assert mu.shape == (16,)
     assert sigma.shape == (16, 16)
+
+
+def test_compute_fid_pipeline(tmp_path):
+    """scripts/tools/compute_fid.py end-to-end on synthetic dumps + folder
+    (proxy features: plumbing validation; real FID requires
+    DQVQ_INCEPTION_WEIGHTS — see script docstring)."""
+    import pickle
+    import subprocess
+    import sys
+    import json as _json
+
+    import numpy as np
+    from PIL import Image
+
+    g = np.random.default_rng(0)
+    dumps = tmp_path / "numpys"
+    dumps.mkdir()
+    for i in range(2):
+        arr = (g.random((8, 32, 32, 3)) * 255).astype(np.uint8)
+        with open(dumps / f"batch_{i}.pkl", "wb") as f:
+            pickle.dump(arr, f)
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(16):
+        Image.fromarray((g.random((32, 32, 3)) * 255).astype(np.uint8)).save(
+            data / f"{i}.png"
+        )
+
+    out = subprocess.run(
+        [sys.executable, "scripts/tools/compute_fid.py", "--a", str(dumps),
+         "--b", str(data), "--proxy_features", "--size", "32"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    res = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["metric"] == "proxy_fid"
+    assert np.isfinite(res["value"]) and res["value"] >= 0
+
+    # same distribution -> (near) zero
+    out2 = subprocess.run(
+        [sys.executable, "scripts/tools/compute_fid.py", "--a", str(dumps),
+         "--b", str(dumps), "--proxy_features", "--size", "32"],
+        capture_output=True, text=True, timeout=300,
+    )
+    res2 = _json.loads(out2.stdout.strip().splitlines()[-1])
+    assert res2["value"] < res["value"] * 0.1
