@@ -24,6 +24,16 @@ TARGET_ALIASES = {
     # ---- text encoders (t2i) ----
     "modules.text_encoders.clip_text_encoder.CLIPTextEncoder": f"{_PKG}.nn.text_encoders.CLIPTextEncoder",
     "modules.text_encoders.bert_text_encoder.BERTTextEncoder": f"{_PKG}.nn.text_encoders.BERTTextEncoder",
+    # from-scratch CLIP text tower + BPE (reference vendors OpenAI CLIP at
+    # modules/text_encoders/clip_text_encoder/; it imports itself under the
+    # shorter `modules.clip_text_encoder.` path via sys.path hacks — both
+    # spellings resolve here)
+    "modules.text_encoders.clip_text_encoder.clip_text_embedding.CLIPTextEmbedding": f"{_PKG}.nn.clip_text.CLIPTextEmbedding",
+    "modules.clip_text_encoder.clip_text_embedding.CLIPTextEmbedding": f"{_PKG}.nn.clip_text.CLIPTextEmbedding",
+    "modules.text_encoders.clip_text_encoder.my_tokenizer.my_tokenize.Tokenize": f"{_PKG}.utils.clip_bpe.Tokenize",
+    "modules.clip_text_encoder.my_tokenizer.my_tokenize.Tokenize": f"{_PKG}.utils.clip_bpe.Tokenize",
+    "modules.text_encoders.clip_text_encoder.clip.simple_tokenizer.SimpleTokenizer": f"{_PKG}.utils.clip_bpe.ClipBPETokenizer",
+    "modules.clip_text_encoder.clip.simple_tokenizer.SimpleTokenizer": f"{_PKG}.utils.clip_bpe.ClipBPETokenizer",
     # ---- dynamic modules ----
     "modules.dynamic_modules.EncoderDual.DualGrainEncoder": f"{_PKG}.nn.encoder_dual.DualGrainEncoder",
     "modules.dynamic_modules.EncoderTriple.TripleGrainEncoder": f"{_PKG}.nn.encoder_triple.TripleGrainEncoder",
@@ -49,8 +59,8 @@ TARGET_ALIASES = {
     "modules.losses.vqperceptual.VQLPIPSWithDiscriminator": f"{_PKG}.losses.vqperceptual.VQLPIPSWithDiscriminator",
     "modules.losses.vqperceptual.DummyLoss": f"{_PKG}.losses.vqperceptual.DummyLoss",
     "modules.discriminator.model.NLayerDiscriminator": f"{_PKG}.nn.discriminator.NLayerDiscriminator",
-    "modules.discriminator.stylegan.Discriminator": f"{_PKG}.nn.stylegan_discriminator.StyleGANDiscriminator",
-    "modules.discriminator.stylegan_lucidrains.Discriminator": f"{_PKG}.nn.stylegan_discriminator.StyleGANDiscriminator",
+    "modules.discriminator.stylegan.Discriminator": f"{_PKG}.nn.stylegan_discriminator.StyleGAN2Discriminator",
+    "modules.discriminator.stylegan_lucidrains.Discriminator": f"{_PKG}.nn.stylegan_discriminator.LucidrainsDiscriminator",
     # ---- legacy stage-1 baselines ----
     "models.stage1.vqgan.VQModel": f"{_PKG}.models.vqgan.VQModel",
     "models.stage1.vqgan_multivq.VQModel": f"{_PKG}.models.vqgan.MultiVQModel",

@@ -271,6 +271,190 @@ def convert_discriminator_state_dict(sd, prefix="loss.discriminator.", n_layers=
     return {"params": params, "batch_stats": stats}
 
 
+def convert_clip_text_state_dict(sd, prefix="", layers=None):
+    """OpenAI CLIP (or reference CLIPTextEmbedding) state_dict -> our
+    `nn.clip_text.CLIPTextTransformer` params. Visual-tower keys are
+    ignored; `attn.in_proj_weight` splits columns into the fused qkv Dense.
+    Reference module tree: clip/model.py:152-300."""
+    params: dict = {}
+    for key, v in sd.items():
+        if not key.startswith(prefix):
+            continue
+        k = key[len(prefix):]
+        if k.startswith("visual.") or k in ("logit_scale",):
+            continue
+        if k == "token_embedding.weight":
+            _set(params, ["token_embedding", "embedding"], v)
+        elif k == "positional_embedding":
+            _set(params, ["positional_embedding"], v)
+        elif k == "text_projection":
+            _set(params, ["text_projection"], v)
+        elif k.startswith("ln_final."):
+            _set(params, ["ln_final",
+                          "scale" if k.endswith("weight") else "bias"], v)
+        elif k.startswith("transformer.resblocks."):
+            parts = k.split(".")
+            i = parts[2]
+            root = f"resblock_{i}"
+            rest = ".".join(parts[3:])
+            if layers is not None and int(i) >= layers:
+                raise KeyError(f"resblock {i} beyond configured {layers} layers")
+            if rest == "attn.in_proj_weight":
+                _set(params, [root, "in_proj", "kernel"], _linear_kernel(v))
+            elif rest == "attn.in_proj_bias":
+                _set(params, [root, "in_proj", "bias"], v)
+            elif rest == "attn.out_proj.weight":
+                _set(params, [root, "out_proj", "kernel"], _linear_kernel(v))
+            elif rest == "attn.out_proj.bias":
+                _set(params, [root, "out_proj", "bias"], v)
+            elif rest in ("ln_1.weight", "ln_1.bias", "ln_2.weight", "ln_2.bias"):
+                ln, leaf = rest.split(".")
+                _set(params, [root, ln, "scale" if leaf == "weight" else "bias"], v)
+            elif rest.startswith("mlp."):
+                name = parts[4]  # c_fc / c_proj
+                leaf = parts[5]
+                if leaf == "weight":
+                    _set(params, [root, name, "kernel"], _linear_kernel(v))
+                else:
+                    _set(params, [root, name, "bias"], v)
+            else:
+                raise KeyError(f"unmapped clip key {key}")
+    return {"params": params}
+
+
+def convert_stylegan2_disc_state_dict(sd, prefix=""):
+    """Reference `modules/discriminator/stylegan.py:308-357` Discriminator
+    state_dict -> StyleGAN2Discriminator params.
+
+    Handles the residual blocks, optional attn_and_ff stages, final conv and
+    the dense head (whose weight is permuted from torch's (c,h,w) flatten
+    order to our NHWC (h,w,c) order)."""
+    params: dict = {}
+    for key, v in sd.items():
+        if not key.startswith(prefix):
+            continue
+        parts = key[len(prefix):].split(".")
+        if parts[0] == "blocks":
+            i, sub = parts[1], parts[2]
+            root = f"blocks_{i}"
+            leaf = parts[-1]
+            if sub == "conv_res":
+                name = "conv_res"
+            elif sub == "net":
+                name = {"0": "net_conv1", "2": "net_conv2"}[parts[3]]
+            elif sub == "downsample":
+                if parts[3] == "0":  # Blur buffer `f`
+                    continue
+                name = "down_conv"
+            else:
+                raise KeyError(f"unmapped stylegan2 key {key}")
+            if leaf == "weight":
+                _set(params, [root, name, "kernel"], _conv_kernel(v))
+            else:
+                _set(params, [root, name, "bias"], v)
+        elif parts[0] == "attn_blocks":
+            i, stage = parts[1], parts[2]
+            root = f"attn_{i}"
+            leaf = parts[-1]
+            rest = ".".join(parts[3:])
+            if stage == "0":  # Residual(PreNorm(LinearAttention))
+                if rest.startswith("fn.norm"):
+                    _set(params, [root, "attn_norm",
+                                  "g" if leaf == "g" else "b"], v.reshape(-1))
+                elif rest == "fn.fn.to_q.weight":
+                    _set(params, [root, "attn", "to_q", "kernel"], _conv_kernel(v))
+                elif rest == "fn.fn.to_kv.net.0.weight":
+                    _set(params, [root, "attn", "to_kv_dw", "kernel"], _conv_kernel(v))
+                elif rest == "fn.fn.to_kv.net.1.weight":
+                    _set(params, [root, "attn", "to_kv_pw", "kernel"], _conv_kernel(v))
+                elif rest.startswith("fn.fn.to_out"):
+                    if leaf == "weight":
+                        _set(params, [root, "attn", "to_out", "kernel"], _conv_kernel(v))
+                    else:
+                        _set(params, [root, "attn", "to_out", "bias"], v)
+                else:
+                    raise KeyError(f"unmapped stylegan2 attn key {key}")
+            else:  # Residual(PreNorm(conv-FF))
+                if rest.startswith("fn.norm"):
+                    _set(params, [root, "ff_norm",
+                                  "g" if leaf == "g" else "b"], v.reshape(-1))
+                elif rest.startswith("fn.fn.0"):
+                    if leaf == "weight":
+                        _set(params, [root, "ff_conv1", "kernel"], _conv_kernel(v))
+                    else:
+                        _set(params, [root, "ff_conv1", "bias"], v)
+                elif rest.startswith("fn.fn.2"):
+                    if leaf == "weight":
+                        _set(params, [root, "ff_conv2", "kernel"], _conv_kernel(v))
+                    else:
+                        _set(params, [root, "ff_conv2", "bias"], v)
+                else:
+                    raise KeyError(f"unmapped stylegan2 ff key {key}")
+        elif parts[0] == "final_conv":
+            if parts[1] == "weight":
+                _set(params, ["final_conv", "kernel"], _conv_kernel(v))
+            else:
+                _set(params, ["final_conv", "bias"], v)
+        elif parts[0] == "to_logit":
+            if parts[1] == "weight":
+                c = v.shape[1] // 4  # latent = 2*2*chan_last, torch (c,h,w) order
+                w = v.reshape(1, c, 2, 2)
+                w = np.transpose(w, (2, 3, 1, 0)).reshape(4 * c, 1)
+                _set(params, ["to_logit", "kernel"], w)
+            else:
+                _set(params, ["to_logit", "bias"], v)
+    return {"params": params}
+
+
+def convert_lucidrains_disc_state_dict(sd, prefix=""):
+    """Reference `modules/discriminator/stylegan_lucidrains.py:85-126`
+    Discriminator state_dict -> LucidrainsDiscriminator params."""
+    params: dict = {}
+    for key, v in sd.items():
+        if not key.startswith(prefix):
+            continue
+        parts = key[len(prefix):].split(".")
+        leaf = parts[-1]
+        if parts[0] == "layers":
+            i = int(parts[1])
+            if i == 0:  # Sequential(CrossEmbedLayer, LeakyReLU)
+                j = parts[4]
+                name = ["layer0_cross_embed", f"convs_{j}"]
+                if leaf == "weight":
+                    _set(params, name + ["kernel"], _conv_kernel(v))
+                else:
+                    _set(params, name + ["bias"], v)
+            else:
+                stage = parts[2]
+                root = f"layers_{i - 1}"
+                if stage == "0":  # strided conv4
+                    name, is_norm = f"{root}_conv", False
+                elif stage == "2":  # GroupNorm
+                    name, is_norm = f"{root}_norm", True
+                elif stage == "3":  # ResnetBlock
+                    if parts[3] == "block" and parts[4] == "groupnorm":
+                        name, is_norm = f"{root}_res_groupnorm", True
+                    elif parts[3] == "block" and parts[4] == "project":
+                        name, is_norm = f"{root}_res_project", False
+                    else:
+                        raise KeyError(f"unmapped lucidrains key {key}")
+                else:
+                    raise KeyError(f"unmapped lucidrains key {key}")
+                if is_norm:
+                    _set(params, [name, "scale" if leaf == "weight" else "bias"], v)
+                elif leaf == "weight":
+                    _set(params, [name, "kernel"], _conv_kernel(v))
+                else:
+                    _set(params, [name, "bias"], v)
+        elif parts[0] == "to_logits":
+            name = {"0": "logits_conv1", "2": "logits_conv2"}[parts[1]]
+            if leaf == "weight":
+                _set(params, [name, "kernel"], _conv_kernel(v))
+            else:
+                _set(params, [name, "bias"], v)
+    return {"params": params}
+
+
 # torchvision VGG16 `features.<i>` conv indices -> our conv_0..conv_12
 _VGG_FEATURE_TO_CONV = {0: 0, 2: 1, 5: 2, 7: 3, 10: 4, 12: 5, 14: 6,
                         17: 7, 19: 8, 21: 9, 24: 10, 26: 11, 28: 12}

@@ -4,18 +4,32 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from dynamicvectorquantization_tpu.nn.stylegan_discriminator import StyleGANDiscriminator
+from dynamicvectorquantization_tpu.nn.stylegan_discriminator import (
+    LucidrainsDiscriminator,
+    StyleGAN2Discriminator,
+)
 from dynamicvectorquantization_tpu.nn.text_encoders import HashTextEncoder
 from dynamicvectorquantization_tpu.utils.logging import ImageLogger, MetricLogger, make_grid, to_uint8
 from dynamicvectorquantization_tpu.utils.viz import draw_grain_map_color
 
 
-def test_stylegan_discriminator(rng):
-    d = StyleGANDiscriminator(ndf=16, n_layers=3, image_size=64)
+def test_stylegan2_discriminator(rng):
+    d = StyleGAN2Discriminator(image_size=64, network_capacity=4,
+                               attn_layers=(2,), fmap_max=64)
     x = jax.random.uniform(jax.random.PRNGKey(1), (4, 64, 64, 3), minval=-1, maxval=1)
     variables = d.init(rng, x)
     out = d.apply(variables, x)
-    assert out.shape == (4, 1)
+    assert out.shape == (4,)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lucidrains_discriminator(rng):
+    d = LucidrainsDiscriminator(dim=16, discr_layers=2, groups=4)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3), minval=-1, maxval=1)
+    variables = d.init(rng, x)
+    out = d.apply(variables, x)
+    # 64 -> 32 -> 16 -> 4x4 VALID conv -> 13x13 patch logits
+    assert out.shape == (2, 13, 13, 1)
     assert np.isfinite(np.asarray(out)).all()
 
 
