@@ -94,7 +94,21 @@ def _imagenet_split(root, split, size, train: bool):
                 files.append(os.path.join(split_dir, syn, fn))
                 labels.append(idx)
     transform = T.imagenet_train_transform if train else T.imagenet_val_transform
-    return FileListDataset(files, labels, transform, size)
+    # synset -> human label map (reference data/imagenet.py:51-58,82-86),
+    # prepared by scripts/tools/prepare_imagenet.py; optional.
+    human_labels = None
+    human_path = os.path.join(root, "synset_human.txt")
+    if files and os.path.exists(human_path):
+        with open(human_path) as f:
+            table = {}
+            for line in f:
+                parts = line.strip().split(maxsplit=1)
+                if parts:
+                    table[parts[0]] = parts[1] if len(parts) > 1 else ""
+        synsets = [os.path.basename(os.path.dirname(p)) for p in files]
+        human_labels = [table.get(s, s) for s in synsets]
+    return FileListDataset(files, labels, transform, size,
+                           human_labels=human_labels)
 
 
 class ImageNetTrain(FileListDataset):
@@ -103,7 +117,8 @@ class ImageNetTrain(FileListDataset):
         size = int(config.get("size", 256))
         root = root or default_paths.imagenet_root()
         ds = _imagenet_split(root, "train", size, train=True)
-        super().__init__(ds.files, ds.labels, ds.transform, size)
+        super().__init__(ds.files, ds.labels, ds.transform, size,
+                         human_labels=ds.human_labels)
 
 
 class ImageNetValidation(FileListDataset):
@@ -112,7 +127,8 @@ class ImageNetValidation(FileListDataset):
         size = int(config.get("size", 256))
         root = root or default_paths.imagenet_root()
         ds = _imagenet_split(root, "val", size, train=False)
-        super().__init__(ds.files, ds.labels, ds.transform, size)
+        super().__init__(ds.files, ds.labels, ds.transform, size,
+                         human_labels=ds.human_labels)
 
 
 class FFHQTrain(FileListDataset):
