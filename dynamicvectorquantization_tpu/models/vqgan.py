@@ -32,8 +32,14 @@ class VQGANNet(nn.Module):
 
         dd = dict(self.ddconfig)
         dd.pop("double_z", None)
-        self.encoder = VQGANEncoder(**dd)
-        self.decoder = VQGANDecoder(**dd)
+        # reference ddconfigs carry decoder-only keys (out_ch) alongside the
+        # shared ones; route each module only the fields it declares
+        enc_fields = set(VQGANEncoder.__dataclass_fields__)
+        dec_fields = set(VQGANDecoder.__dataclass_fields__)
+        self.encoder = VQGANEncoder(**{k: v for k, v in dd.items()
+                                       if k in enc_fields})
+        self.decoder = VQGANDecoder(**{k: v for k, v in dd.items()
+                                       if k in dec_fields})
         self.quantize = instantiate_from_config(self.vqconfig)
         self.quant_conv = nn.Conv(self.embed_dim, (1, 1), name="quant_conv")
         self.post_quant_conv = nn.Conv(

@@ -29,6 +29,48 @@ def _is_stage2(model) -> bool:
     return hasattr(model, "transformer") and hasattr(model, "first_stage_model")
 
 
+class PreemptionGuard:
+    """Graceful-preemption handler (SURVEY.md §5 'failure detection' — the
+    reference has none; Lightning just dies and loses the partial epoch).
+
+    Installs SIGTERM/SIGUSR1 handlers for the duration of a fit; when a
+    managed runtime (borg/k8s/TPU maintenance) signals shutdown, the training
+    loop finishes the in-flight step, saves an emergency checkpoint and
+    returns cleanly — auto-resume then continues mid-epoch instead of
+    rewinding to the last epoch boundary."""
+
+    def __init__(self):
+        import signal
+
+        self._signal = signal
+        self._hit: Optional[str] = None
+        self._prev = {}
+
+    def __enter__(self):
+        try:
+            for sig in (self._signal.SIGTERM, self._signal.SIGUSR1):
+                self._prev[sig] = self._signal.signal(sig, self._on_signal)
+        except ValueError:
+            pass  # not in main thread (tests/embedded use): stays a no-op
+        return self
+
+    def __exit__(self, *exc):
+        for sig, prev in self._prev.items():
+            self._signal.signal(sig, prev)
+        return False
+
+    def _on_signal(self, signum, frame):
+        self._hit = self._signal.Signals(signum).name
+
+    @property
+    def should_stop(self) -> bool:
+        return self._hit is not None
+
+    @property
+    def reason(self) -> Optional[str]:
+        return self._hit
+
+
 class Trainer:
     def __init__(
         self,
@@ -138,6 +180,17 @@ class Trainer:
             os.path.abspath(os.path.join(self.logdir, "checkpoints")), options=options
         )
 
+    def _emergency_save(self, mngr, state, reason):
+        import orbax.checkpoint as ocp
+
+        step = int(state.step)
+        try:
+            mngr.save(step, args=ocp.args.StandardSave(state), force=True)
+            mngr.wait_until_finished()
+            print(f"[preempt:{reason}] emergency checkpoint saved at step {step}")
+        except Exception as e:  # never mask the shutdown on a save failure
+            print(f"[preempt:{reason}] emergency save FAILED: {e}")
+
     # ------------------------------------------------------------------ fit
     def fit(self, model, data, eval_only: bool = False):
         train_loader = data.train_dataloader(seed=self.seed)
@@ -203,47 +256,51 @@ class Trainer:
 
         rng = jax.random.PRNGKey(self.seed + 1)
         start_epoch = int(state.epoch)
-        for epoch in range(start_epoch, self.max_epochs):
-            t0 = time.time()
-            inputs = (
-                model.get_input(batch, model.image_key)
-                for batch in device_prefetch(train_loader.epoch(epoch), b_sh)
-            )
-            for bi, x in enumerate(self._group_microbatches(inputs)):
-                if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
-                    break
-                rng, sub = jax.random.split(rng)
-                self._maybe_profile(int(state.step))
-                state, logs = step_fn(state, x, sub)
-                gs = int(state.step)
-                x_vis = x if self.accum == 1 else x[0]
-                if bi % self.log_every == 0:
-                    logs_np = {k: float(v) for k, v in logs.items()}
-                    logs_np["images_per_sec"] = (
-                        self.accum * x_vis.shape[0] * (bi + 1) / (time.time() - t0)
-                    )
-                    # reference LearningRateMonitor (train.py:207-213)
-                    logs_np["lr"] = float(trainer.ae_schedule(gs))
-                    self.metrics.log(gs, logs_np, "train")
-                if self.images.should_log(bi):
-                    self._log_stage1_images(model, forward_fn, state, x_vis,
-                                            "train", gs, epoch, bi)
-            state = state._replace(epoch=state.epoch + 1)
+        with PreemptionGuard() as guard:
+            for epoch in range(start_epoch, self.max_epochs):
+                t0 = time.time()
+                inputs = (
+                    model.get_input(batch, model.image_key)
+                    for batch in device_prefetch(train_loader.epoch(epoch), b_sh)
+                )
+                for bi, x in enumerate(self._group_microbatches(inputs)):
+                    if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
+                        break
+                    rng, sub = jax.random.split(rng)
+                    self._maybe_profile(int(state.step))
+                    state, logs = step_fn(state, x, sub)
+                    if guard.should_stop:
+                        self._emergency_save(mngr, state, guard.reason)
+                        return state
+                    gs = int(state.step)
+                    x_vis = x if self.accum == 1 else x[0]
+                    if bi % self.log_every == 0:
+                        logs_np = {k: float(v) for k, v in logs.items()}
+                        logs_np["images_per_sec"] = (
+                            self.accum * x_vis.shape[0] * (bi + 1) / (time.time() - t0)
+                        )
+                        # reference LearningRateMonitor (train.py:207-213)
+                        logs_np["lr"] = float(trainer.ae_schedule(gs))
+                        self.metrics.log(gs, logs_np, "train")
+                    if self.images.should_log(bi):
+                        self._log_stage1_images(model, forward_fn, state, x_vis,
+                                                "train", gs, epoch, bi)
+                state = state._replace(epoch=state.epoch + 1)
 
-            val_metrics = self._validate_stage1(model, data, eval_fn, state)
-            self.metrics.log(int(state.step), val_metrics, "val")
-            import orbax.checkpoint as ocp
+                val_metrics = self._validate_stage1(model, data, eval_fn, state)
+                self.metrics.log(int(state.step), val_metrics, "val")
+                import orbax.checkpoint as ocp
 
-            mngr.save(
-                int(state.step),
-                args=ocp.args.StandardSave(state),
-                metrics={k: float(v) for k, v in val_metrics.items()},
-            )
-            mngr.wait_until_finished()
-            print(
-                f"epoch {epoch}: " +
-                " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items())
-            )
+                mngr.save(
+                    int(state.step),
+                    args=ocp.args.StandardSave(state),
+                    metrics={k: float(v) for k, v in val_metrics.items()},
+                )
+                mngr.wait_until_finished()
+                print(
+                    f"epoch {epoch}: " +
+                    " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items())
+                )
         return state
 
     def _validate_stage1(self, model, data, eval_fn, state):
@@ -327,47 +384,51 @@ class Trainer:
 
         rng = jax.random.PRNGKey(self.seed + 1)
         start_epoch = int(state.epoch)
-        for epoch in range(start_epoch, self.max_epochs):
-            def _xc(batch):
-                x = model.first_stage_model.get_input(batch, model.first_stage_key)
-                if model.cond_stage_key == "class_label":
-                    return x, jnp.asarray(batch["class_label"])
-                return x, x
+        with PreemptionGuard() as guard:
+            for epoch in range(start_epoch, self.max_epochs):
+                def _xc(batch):
+                    x = model.first_stage_model.get_input(batch, model.first_stage_key)
+                    if model.cond_stage_key == "class_label":
+                        return x, jnp.asarray(batch["class_label"])
+                    return x, x
 
-            inputs = (
-                _xc(batch)
-                for batch in device_prefetch(train_loader.epoch(epoch), b_sh)
-            )
-            for bi, (x, c) in enumerate(self._group_microbatches(inputs)):
-                if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
-                    break
-                rng, sub = jax.random.split(rng)
-                self._maybe_profile(int(state.step))
-                state, logs = step_fn(state, variables, x, c, sub)
-                if bi % self.log_every == 0:
-                    logs_np = {k: float(v) for k, v in logs.items()}
-                    logs_np["lr"] = float(trainer.schedule(int(state.step)))
-                    self.metrics.log(int(state.step), logs_np, "train")
-                if self.images.should_log(bi):
-                    self._log_stage2_images(
-                        model, variables, state,
-                        x if self.accum == 1 else x[0],
-                        c if self.accum == 1 else c[0],
-                        "train", int(state.step), epoch, bi,
-                    )
-            state = state._replace(epoch=state.epoch + 1)
+                inputs = (
+                    _xc(batch)
+                    for batch in device_prefetch(train_loader.epoch(epoch), b_sh)
+                )
+                for bi, (x, c) in enumerate(self._group_microbatches(inputs)):
+                    if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
+                        break
+                    rng, sub = jax.random.split(rng)
+                    self._maybe_profile(int(state.step))
+                    state, logs = step_fn(state, variables, x, c, sub)
+                    if guard.should_stop:
+                        self._emergency_save(mngr, state, guard.reason)
+                        return state
+                    if bi % self.log_every == 0:
+                        logs_np = {k: float(v) for k, v in logs.items()}
+                        logs_np["lr"] = float(trainer.schedule(int(state.step)))
+                        self.metrics.log(int(state.step), logs_np, "train")
+                    if self.images.should_log(bi):
+                        self._log_stage2_images(
+                            model, variables, state,
+                            x if self.accum == 1 else x[0],
+                            c if self.accum == 1 else c[0],
+                            "train", int(state.step), epoch, bi,
+                        )
+                state = state._replace(epoch=state.epoch + 1)
 
-            val_metrics = self._validate_stage2(model, data, eval_fn, state, variables)
-            self.metrics.log(int(state.step), val_metrics, "val")
-            import orbax.checkpoint as ocp
+                val_metrics = self._validate_stage2(model, data, eval_fn, state, variables)
+                self.metrics.log(int(state.step), val_metrics, "val")
+                import orbax.checkpoint as ocp
 
-            mngr.save(int(state.step), args=ocp.args.StandardSave(state),
-                      metrics={k: float(v) for k, v in val_metrics.items()})
-            mngr.wait_until_finished()
-            print(
-                f"epoch {epoch}: " +
-                " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items())
-            )
+                mngr.save(int(state.step), args=ocp.args.StandardSave(state),
+                          metrics={k: float(v) for k, v in val_metrics.items()})
+                mngr.wait_until_finished()
+                print(
+                    f"epoch {epoch}: " +
+                    " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items())
+                )
         return state
 
     def _log_stage2_images(self, model, variables, state, x, c, split, gs,

@@ -132,7 +132,9 @@ class Stage1Trainer:
         return Stage1State(
             ae_params=net_vars["params"],
             ae_opt=self.ae_tx.init(net_vars["params"]),
-            ema=net_vars["ema"],
+            # plain-param quantizers (legacy VectorQuantizer) have no ema
+            # collection; an empty one is inert through apply()
+            ema=net_vars.get("ema", {}),
             loss_params=loss_vars["params"],
             loss_stats=loss_vars.get("batch_stats", {}),
             disc_opt=self.disc_tx.init(loss_vars["params"]["discriminator"]),

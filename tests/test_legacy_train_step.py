@@ -1,0 +1,98 @@
+"""Full GAN train step over the legacy fixed-length stage-1 baselines
+(VQGAN / RQ-VAE), not just construction: losses finite, AE + disc params
+update, VQ codebook receives gradients/EMA movement.
+
+Closes the round-1 gap 'legacy-model train step untested beyond
+construction' (reference trains these through the same Lightning flow as
+the dynamic models, models/stage1/vqgan.py:104-168)."""
+import jax
+import numpy as np
+import pytest
+
+from dynamicvectorquantization_tpu.models.vqgan import RQModel, VQModel
+from dynamicvectorquantization_tpu.train.stage1 import Stage1Trainer
+
+DD = {
+    "double_z": False,
+    "z_channels": 16,
+    "resolution": 32,
+    "in_channels": 3,
+    "out_ch": 3,  # reference ddconfigs always carry out_ch
+    "ch": 16,
+    "ch_mult": [1, 2],
+    "num_res_blocks": 1,
+    "attn_resolutions": [16],
+    "dropout": 0.0,
+}
+
+LOSS = {
+    "target": "modules.losses.vqperceptual_multidisc.VQLPIPSWithDiscriminator",
+    "params": {
+        "disc_start": 0,
+        "disc_config": {
+            "target": "modules.discriminator.model.NLayerDiscriminator",
+            "params": {"input_nc": 3, "ndf": 8, "n_layers": 2,
+                       "use_actnorm": False},
+        },
+        "disc_init": True,
+        "disc_weight": 1.0,
+        "disc_loss": "hinge",
+    },
+}
+
+
+def _run_step(model):
+    trainer = Stage1Trainer(model, learning_rate=1e-3, warmup_steps=0,
+                            max_steps=10)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3),
+                           minval=-1, maxval=1)
+    state = trainer.init_state(jax.random.PRNGKey(1), x)
+    new_state, logs = jax.jit(trainer.train_step)(state, x, jax.random.PRNGKey(2))
+    for k, v in logs.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    w0 = state.ae_params["decoder"]["conv_out"]["kernel"]
+    w1 = new_state.ae_params["decoder"]["conv_out"]["kernel"]
+    assert not np.allclose(np.asarray(w0), np.asarray(w1)), "AE did not move"
+    d0 = state.loss_params["discriminator"]["conv_0"]["kernel"]
+    d1 = new_state.loss_params["discriminator"]["conv_0"]["kernel"]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1)), "disc did not move"
+    return state, new_state
+
+
+def test_vqgan_train_step():
+    model = VQModel(ddconfig=dict(DD), lossconfig=LOSS, n_embed=32,
+                    embed_dim=16)
+    state, new_state = _run_step(model)
+    # codebook embeddings must receive gradients (non-EMA VectorQuantizer)
+    e0 = jax.tree_util.tree_leaves(state.ae_params["quantize"])[0]
+    e1 = jax.tree_util.tree_leaves(new_state.ae_params["quantize"])[0]
+    assert not np.allclose(np.asarray(e0), np.asarray(e1)), "codebook frozen"
+
+
+def test_rqvae_train_step():
+    model = RQModel(
+        ddconfig=dict(DD), lossconfig=LOSS,
+        rqconfig={
+            "target": "dynamicvectorquantization_tpu.ops.quantizers.RQBottleneck",
+            "params": {"latent_shape": [16, 16, 16], "code_shape": [16, 16, 2],
+                       "n_embed": 32, "shared_codebook": True},
+        },
+        embed_dim=16,
+    )
+    _run_step(model)
+
+
+def test_vqgan_eval_step_and_log_images():
+    model = VQModel(ddconfig=dict(DD), lossconfig=LOSS, n_embed=32,
+                    embed_dim=16)
+    trainer = Stage1Trainer(model, learning_rate=1e-3, warmup_steps=0,
+                            max_steps=10)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3),
+                           minval=-1, maxval=1)
+    state = trainer.init_state(jax.random.PRNGKey(1), x)
+    logs = jax.jit(trainer.eval_step)(state, x)
+    assert all(np.isfinite(float(v)) for v in logs.values())
+    imgs = model.log_images(
+        {"params": state.ae_params, "ema": state.ema}, {"image": x}
+    )
+    assert imgs["reconstructions"].shape == (2, 32, 32, 3)
