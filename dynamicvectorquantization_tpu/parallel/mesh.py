@@ -49,6 +49,47 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def make_mesh_2d(n_dp: int, n_tp: int) -> Mesh:
+    """(dp, tp) mesh for stage-2 tensor parallelism. On real pods lay tp on
+    the innermost (fastest-ICI) axis; jax.devices() order already is
+    torus-local on TPU."""
+    devices = np.asarray(jax.devices()[: n_dp * n_tp]).reshape(n_dp, n_tp)
+    return Mesh(devices, ("dp", "tp"))
+
+
+def stage2_param_shardings(mesh: Mesh, params):
+    """Megatron-style tensor-parallel shardings for the StackGPT/minGPT
+    transformer param tree (nn/transformer.py names) — a scaling axis BEYOND
+    the reference, whose only strategy is DDP (SURVEY.md §2.10).
+
+    Column-split the attention q/k/v and mlp_fc kernels (output dim over
+    "tp", biases likewise), row-split the proj / mlp_proj kernels (input dim
+    over "tp", biases replicated); embeddings, layernorms and heads stay
+    replicated. Under GSPMD that yields exactly one all-reduce after the
+    attention proj and one after mlp_proj per block — XLA inserts them from
+    the annotations; no manual collectives.
+    """
+    col = {"query", "key", "value", "mlp_fc"}
+    row = {"proj", "mlp_proj"}
+
+    def spec(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        leafname = names[-1] if names else ""
+        mod = names[-2] if len(names) > 1 else ""
+        ndim = getattr(leaf, "ndim", 0)
+        if mod in col:
+            if leafname == "kernel" and ndim == 2 and leaf.shape[1] % mesh.shape["tp"] == 0:
+                return NamedSharding(mesh, P(None, "tp"))
+            if leafname == "bias" and ndim == 1 and leaf.shape[0] % mesh.shape["tp"] == 0:
+                return NamedSharding(mesh, P("tp"))
+        if mod in row and leafname == "kernel" and ndim == 2 \
+                and leaf.shape[0] % mesh.shape["tp"] == 0:
+            return NamedSharding(mesh, P("tp", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
 def opt_state_shardings(mesh: Mesh, opt_state, min_elements: int = 65536,
                         axis_name: str = "dp"):
     """ZeRO-1-style sharding spec for an optax state (the reference's

@@ -1,0 +1,79 @@
+"""Tensor-parallel stage-2 training (dp x tp mesh) — semantics-preserving:
+the Megatron-style sharded step must produce the same updated params and
+losses as the unsharded single-program step. A scaling axis beyond the
+reference (its only strategy is DDP, train.py:227-228)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamicvectorquantization_tpu.parallel.mesh import (
+    make_mesh_2d,
+    stage2_param_shardings,
+)
+from dynamicvectorquantization_tpu.train.stage2 import Stage2State, Stage2Trainer
+from tests.test_dqtransformer import dualformer  # noqa: F401 (fixture)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    x = jax.random.uniform(jax.random.PRNGKey(7), (4, 64, 64, 3),
+                           minval=-1, maxval=1)
+    return x
+
+
+def test_param_sharding_specs(dualformer):  # noqa: F811
+    model, variables = dualformer
+    mesh = make_mesh_2d(4, 2)
+    sh = stage2_param_shardings(mesh, variables["transformer"]["params"])
+    flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+    specs = {"/".join(getattr(p, "key", str(p)) for p in path): s.spec
+             for path, s in flat}
+    from jax.sharding import PartitionSpec as P
+
+    col = [k for k in specs if k.endswith("query/kernel")]
+    assert col and all(specs[k] == P(None, "tp") for k in col)
+    row = [k for k in specs if k.endswith("mlp_proj/kernel")]
+    assert row and all(specs[k] == P("tp", None) for k in row)
+    # embeddings and layernorms replicated
+    lns = [k for k in specs if "ln1" in k or "ln_f" in k]
+    assert lns and all(specs[k] == P() for k in lns)
+    n_sharded = sum(1 for s in specs.values() if s != P())
+    assert n_sharded >= 4 * 6  # 4 blocks x (qkv+fc kernels/biases, proj rows)
+
+
+def test_tp_step_matches_unsharded(dualformer, batch):  # noqa: F811
+    model, variables = dualformer
+    x = batch
+    trainer = Stage2Trainer(model, learning_rate=1e-3, warmup_steps=0,
+                            max_steps=50)
+    state0 = trainer.init_state(variables)
+    rng = jax.random.PRNGKey(3)
+
+    # unsharded single-program step
+    s_ref, logs_ref = jax.jit(trainer.train_step)(state0, variables, x, x, rng)
+
+    # dp2 x tp2 sharded step: params column/row-split, moments born sharded
+    mesh = make_mesh_2d(2, 2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    p_sh = stage2_param_shardings(mesh, state0.params)
+    params = jax.device_put(state0.params, p_sh)
+    state = Stage2State(
+        params=params,
+        opt=trainer.tx.init(params),
+        step=jax.device_put(state0.step, NamedSharding(mesh, P())),
+        epoch=jax.device_put(state0.epoch, NamedSharding(mesh, P())),
+    )
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    vs = jax.device_put(variables, NamedSharding(mesh, P()))
+    s_tp, logs_tp = jax.jit(trainer.train_step)(state, vs, xs, xs, rng)
+
+    for k in logs_ref:
+        np.testing.assert_allclose(float(logs_tp[k]), float(logs_ref[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+    ref_leaves = jax.tree_util.tree_leaves(s_ref.params)
+    tp_leaves = jax.tree_util.tree_leaves(s_tp.params)
+    for a, b in zip(ref_leaves, tp_leaves):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
