@@ -88,3 +88,33 @@ class BERTTextEncoder:
         return jnp.asarray(out.numpy()), jnp.asarray(
             toks["attention_mask"].numpy().astype(np.float32)
         )
+
+
+class NativeCLIPTextEncoder:
+    """From-scratch CLIP text tower + byte-level BPE (`nn/clip_text.py`,
+    `utils/clip_bpe.py`) behind the same `encode_text(texts) -> (features,
+    mask)` interface as the HF wrappers — fully dependency-free: OpenAI CLIP
+    weights convert in via DQVQ_CLIP_WEIGHTS / the BPE table via
+    DQVQ_CLIP_BPE, otherwise a seeded random tower + byte-level vocab keep
+    the t2i pipeline runnable."""
+
+    def __init__(self, clip_name: str = "ViT-B/32", max_length: int = 77,
+                 weights_path=None, bpe_path=None, seed: int = 0):
+        from ..utils.clip_bpe import ClipBPETokenizer
+        from .clip_text import CLIPTextEmbedding
+
+        self.tokenizer = ClipBPETokenizer(bpe_path=bpe_path)
+        self.embedding = CLIPTextEmbedding(
+            clip_name=clip_name, num_embed=max(self.tokenizer.vocab_size, 49408),
+            pick_last_embedding=False, normalize=False,
+            weights_path=weights_path, seed=seed,
+        )
+        self.max_length = max_length
+
+    def encode_text(self, texts):
+        from ..utils.clip_bpe import tokenize
+
+        toks = tokenize(list(texts), context_length=self.max_length,
+                        tokenizer=self.tokenizer)
+        feats = self.embedding.encode_text(jnp.asarray(toks["token"]))
+        return feats, jnp.asarray(toks["mask"], jnp.float32)

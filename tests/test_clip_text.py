@@ -203,3 +203,17 @@ def test_clip_text_embedding_wrapper():
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(out), axis=-1), 1.0, rtol=1e-5
     )
+
+
+@pytest.mark.slow
+def test_native_clip_text_encoder_interface():
+    from dynamicvectorquantization_tpu.nn.text_encoders import NativeCLIPTextEncoder
+
+    enc = NativeCLIPTextEncoder(max_length=16)
+    feats, mask = enc.encode_text(["a red cat", "hello"])
+    assert feats.shape == (2, 16, 512)
+    assert mask.shape == (2, 16)
+    assert float(mask[0].sum()) >= 4  # sot + tokens + eot
+    # deterministic under the seeded random tower
+    feats2, _ = enc.encode_text(["a red cat", "hello"])
+    np.testing.assert_array_equal(np.asarray(feats), np.asarray(feats2))
