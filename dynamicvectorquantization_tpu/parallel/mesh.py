@@ -115,3 +115,14 @@ def opt_state_shardings(mesh: Mesh, opt_state, min_elements: int = 65536,
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(spec, opt_state)
+
+
+def fsdp_param_shardings(mesh: Mesh, params, min_elements: int = 65536,
+                         axis_name: str = "dp"):
+    """ZeRO-3 analog (one step beyond the reference's ddp_sharded): shard
+    each large PARAM leaf over dp as well. Under GSPMD the forward/backward
+    all-gather weights at use and reduce-scatter gradients — same math,
+    1/n_dp of the param memory resident per device. Same leaf rules as
+    `opt_state_shardings` (small/non-divisible leaves stay replicated)."""
+    return opt_state_shardings(mesh, params, min_elements=min_elements,
+                               axis_name=axis_name)

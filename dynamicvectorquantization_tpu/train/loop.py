@@ -86,6 +86,7 @@ class Trainer:
         profile_steps: int = 0,
         accumulate_grad_batches: int = 1,
         opt_sharding: bool = False,
+        fsdp: bool = False,
         logtype: str = "csv",
     ):
         self.logdir = logdir
@@ -105,25 +106,44 @@ class Trainer:
         # reference --activate_ddp_share ("ddp_sharded" / ZeRO-1): shard the
         # adam moments over dp, keep params replicated
         self.opt_sharding = opt_sharding
+        # --activate_fsdp (ZeRO-3 analog, beyond the reference): also shard
+        # the params over dp; GSPMD gathers at use / reduce-scatters grads
+        self.fsdp = fsdp
+        # leaves below this many elements stay replicated under either
+        # sharding flag (collective overhead beats the memory win)
+        self.shard_min_elements = 65536
         self._profiling = False
         os.makedirs(logdir, exist_ok=True)
         self.metrics = MetricLogger(logdir, logtype=logtype)
         self.images = ImageLogger(logdir, batch_frequency=image_log_frequency)
 
-    def _state_shardings(self, state, opt_fields):
+    def _state_shardings(self, state, opt_fields, param_fields=()):
         """NamedTuple-shaped sharding tree: optimizer fields ZeRO-1-sharded
-        over dp, everything else replicated. None when opt_sharding is off
-        (jit then infers from argument placement)."""
-        if not self.opt_sharding:
+        over dp (and with fsdp, param fields too), everything else
+        replicated. None when no sharding flag is on (jit then infers from
+        argument placement)."""
+        if not (self.opt_sharding or self.fsdp):
             return None
-        from ..parallel.mesh import opt_state_shardings, replicated
+        from ..parallel.mesh import (
+            fsdp_param_shardings,
+            opt_state_shardings,
+            replicated,
+        )
 
         repl = replicated(self.mesh)
         tree = jax.tree_util.tree_map(lambda _: repl, state)
-        return tree._replace(**{
-            f: opt_state_shardings(self.mesh, getattr(state, f))
+        fields = {
+            f: opt_state_shardings(self.mesh, getattr(state, f),
+                                   min_elements=self.shard_min_elements)
             for f in opt_fields
-        })
+        }
+        if self.fsdp:
+            fields.update({
+                f: fsdp_param_shardings(self.mesh, getattr(state, f),
+                                        min_elements=self.shard_min_elements)
+                for f in param_fields
+            })
+        return tree._replace(**fields)
 
     def _group_microbatches(self, gen):
         """Yield pytrees of step inputs: pass-through at accum=1, else stacked
@@ -237,7 +257,8 @@ class Trainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         x_sh = b_sh if self.accum == 1 else NamedSharding(self.mesh, P(None, "dp"))
-        st_sh = self._state_shardings(state, ("ae_opt", "disc_opt"))
+        st_sh = self._state_shardings(state, ("ae_opt", "disc_opt"),
+                                      param_fields=("ae_params", "loss_params"))
         if st_sh is not None:
             state = jax.device_put(state, st_sh)
         step_fn = jax.jit(trainer.train_step, in_shardings=(st_sh, x_sh, None),
@@ -367,7 +388,7 @@ class Trainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         x_sh = b_sh if self.accum == 1 else NamedSharding(self.mesh, P(None, "dp"))
-        st_sh = self._state_shardings(state, ("opt",))
+        st_sh = self._state_shardings(state, ("opt",), param_fields=("params",))
         if st_sh is not None:
             state = jax.device_put(state, st_sh)
         step_fn = jax.jit(trainer.train_step,

@@ -1,5 +1,7 @@
 """Determinism / consistency checks (SURVEY.md §5 "race detection" analog):
 jit-vs-eager parity, PRNG-threaded reproducibility, remat gradient equality."""
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +10,8 @@ from dynamicvectorquantization_tpu.models.dqvae import DualGrainVQModel
 from dynamicvectorquantization_tpu.train.stage1 import Stage1Trainer
 from tests.test_dqvae import dual_config
 from tests.test_stage1_train import trainer_and_state  # noqa: F401 (fixture)
+
+pytestmark = pytest.mark.slow  # full train-step compiles; quick tier: -m 'not slow'
 
 
 def test_jit_vs_eager_parity():

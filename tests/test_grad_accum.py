@@ -17,6 +17,8 @@ from dynamicvectorquantization_tpu.train.stage2 import Stage2Trainer, _decay_mas
 from tests.test_dqtransformer import dualformer  # noqa: F401 (fixture)
 from tests.test_stage1_train import trainer_and_state  # noqa: F401 (fixture)
 
+pytestmark = pytest.mark.slow  # full train-step compiles; quick tier: -m 'not slow'
+
 
 def test_stage2_accum_equals_mean_grad(dualformer):  # noqa: F811
     """accum=2 step == one update with the exact mean of per-microbatch grads

@@ -12,6 +12,8 @@ import pytest
 from dynamicvectorquantization_tpu.models.vqgan import RQModel, VQModel
 from dynamicvectorquantization_tpu.train.stage1 import Stage1Trainer
 
+pytestmark = pytest.mark.slow  # full train-step compiles; quick tier: -m 'not slow'
+
 DD = {
     "double_z": False,
     "z_channels": 16,

@@ -19,6 +19,8 @@ from dynamicvectorquantization_tpu.parallel.mesh import (
 )
 from tests.test_stage1_train import trainer_and_state  # noqa: F401 (fixture)
 
+pytestmark = pytest.mark.slow  # full train-step compiles; quick tier: -m 'not slow'
+
 
 def _flat(tree):
     return np.concatenate([np.ravel(np.asarray(v))

@@ -14,6 +14,8 @@ from dynamicvectorquantization_tpu.parallel.mesh import (
 from dynamicvectorquantization_tpu.train.stage2 import Stage2State, Stage2Trainer
 from tests.test_dqtransformer import dualformer  # noqa: F401 (fixture)
 
+pytestmark = pytest.mark.slow  # full train-step compiles; quick tier: -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def batch():

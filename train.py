@@ -49,6 +49,9 @@ def get_parser():
     p.add_argument("--activate_ddp_share", action="store_true",
                    help="shard optimizer state over the dp axis (the "
                         "reference's ddp_sharded / ZeRO-1 strategy)")
+    p.add_argument("--activate_fsdp", action="store_true",
+                   help="also shard the params over dp (ZeRO-3 analog; "
+                        "GSPMD gathers weights at use, reduce-scatters grads)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace of the first N train "
                         "steps to <logdir>/profile (view with Perfetto/XProf)")
@@ -131,6 +134,7 @@ def main():
         profile_steps=opt.profile_steps,
         accumulate_grad_batches=opt.accumulate_grad_batches,
         opt_sharding=opt.activate_ddp_share,
+        fsdp=opt.activate_fsdp,
         logtype=opt.logtype,
     )
     do_train = str(opt.train).lower() not in ("false", "0", "no")
