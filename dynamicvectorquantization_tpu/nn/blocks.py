@@ -146,6 +146,8 @@ class AttnBlock(nn.Module):
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h_).reshape(b, h * w, c)
 
         attn = jnp.einsum("bic,bjc->bij", q, k) * (c ** -0.5)
+        # softmax stays f32 even on the bf16 path: measured neutral-to-slower
+        # in bf16 (968 vs 978 img/s headline) — XLA already fuses the casts
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
         h_ = jnp.einsum("bij,bjc->bic", attn, v).reshape(b, h, w, c)
         h_ = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h_)
