@@ -61,6 +61,11 @@ def main():
     float(logs["train_aeloss"])
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    # first post-compile dispatches are slow on the axon tunnel (QUIRKS #24)
+    for w in range(2):
+        state, logs = step(state, x + jnp.float32(w) * 1e-8, jax.random.PRNGKey(97 + w))
+    float(logs["train_aeloss"])
+
     t0 = time.perf_counter()
     for i in range(iters):
         state, logs = step(state, x + jnp.float32(i) * 1e-8, jax.random.PRNGKey(3 + i))

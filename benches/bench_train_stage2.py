@@ -28,7 +28,7 @@ def main():
     from dynamicvectorquantization_tpu.train.stage2 import Stage2Trainer
 
     batch = int(os.environ.get("DQVQ_BENCH_S2_BATCH", "8"))
-    iters = int(os.environ.get("DQVQ_BENCH_S2_ITERS", "3"))
+    iters = int(os.environ.get("DQVQ_BENCH_S2_ITERS", "10"))
     use_flash = os.environ.get("DQVQ_BENCH_S2_FLASH", "0") == "1"
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -40,7 +40,10 @@ def main():
     params["transformer_config"]["params"]["use_flash_attention"] = use_flash
 
     model = instantiate_from_config(cfg["model"])
-    trainer = Stage2Trainer(model, learning_rate=5e-4, warmup_steps=0, max_steps=10_000)
+    dtype = os.environ.get("DQVQ_BENCH_S2_DTYPE", "bfloat16")
+    trainer = Stage2Trainer(model, learning_rate=5e-4, warmup_steps=0,
+                            max_steps=10_000,
+                            compute_dtype=None if dtype == "float32" else dtype)
 
     fs_vars = model.first_stage_model.init(jax.random.PRNGKey(0))
     variables = model.init(jax.random.PRNGKey(1), fs_vars)
@@ -55,6 +58,12 @@ def main():
     float(logs["train_loss"])
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    # the first few post-compile dispatches through the axon tunnel are slow
+    # (QUIRKS: timing methodology) — warm up before timing
+    for w in range(2):
+        state, logs = step(state, variables, x, x, jax.random.PRNGKey(100 + w))
+    float(logs["train_loss"])
+
     t0 = time.perf_counter()
     for i in range(iters):
         state, logs = step(state, variables, x + jnp.float32(i) * 1e-8, x,
@@ -67,7 +76,7 @@ def main():
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": None,
-        "config": {"batch": batch, "flash": use_flash,
+        "config": {"batch": batch, "flash": use_flash, "dtype": dtype,
                    "loss": round(float(logs["train_loss"]), 4)},
     }))
 

@@ -85,7 +85,11 @@ class Dualformer:
         monitor=None,
         ckpt_path=None,
         ignore_keys=(),
+        compute_dtype=None,
     ):
+        # bf16 mixed-precision training knob, consumed by Stage2Trainer
+        # (f32 master params; forward/backward in compute_dtype)
+        self.compute_dtype = compute_dtype
         cond_cfg = uncond_stage_config or cond_stage_config
         self.transformer = instantiate_from_config(transformer_config)
         self.first_stage_model: DualGrainVQModel = instantiate_from_config(

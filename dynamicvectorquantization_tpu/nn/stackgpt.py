@@ -41,6 +41,9 @@ from .transformer import KVCache, TransformerStack
 def cross_entropy_ignore(logits, targets, ignore_index: int):
     """Mean CE over positions where target != ignore_index (torch
     F.cross_entropy(ignore_index=...) semantics)."""
+    # always reduce in f32: under the bf16 mixed-precision train path the
+    # logits arrive bf16, and log-softmax accuracy bounds the loss signal
+    logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     mask = (targets != ignore_index).astype(logits.dtype)
     safe_targets = jnp.where(targets == ignore_index, 0, targets)

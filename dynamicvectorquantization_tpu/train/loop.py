@@ -364,6 +364,7 @@ class Trainer:
             warmup_steps=warmup_steps,
             max_steps=model.training_steps,
             accum=self.accum,
+            compute_dtype=getattr(model, "compute_dtype", None),
         )
         # first stage weights from its config ckpt_path (reference embeds the
         # stage-1 ckpt under first_stage_config.params.ckpt_path)

@@ -39,10 +39,27 @@ def _decay_mask(params):
     return jax.tree_util.tree_map_with_path(mask, params)
 
 
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+        tree,
+    )
+
+
 class Stage2Trainer:
     def __init__(self, model, learning_rate, min_learning_rate=0.0,
-                 warmup_steps=0, max_steps=1_000_000, accum=1):
+                 warmup_steps=0, max_steps=1_000_000, accum=1,
+                 compute_dtype=None):
         self.model = model
+        # mixed precision (TPU-native; the reference trains f32): forward /
+        # backward in `compute_dtype` (bf16) against f32 master params —
+        # the cast's transpose returns f32 grads, AdamW state stays f32.
+        # Cross-entropies always reduce in f32 (stackgpt.cross_entropy_ignore).
+        self.compute_dtype = (
+            jnp.dtype(compute_dtype) if compute_dtype not in (None, "float32")
+            else None
+        )
         # accum>1: train_step takes (accum, B, ...) microbatches, averages
         # grads, one optimizer update (reference `accumulate_grad_batches`).
         self.accum = int(accum)
@@ -90,10 +107,17 @@ class Stage2Trainer:
         x (and c when conditional): (B, ...) or (accum, B, ...) microbatches.
         """
 
+        fs_vars = variables["first_stage"]
+        if self.compute_dtype is not None:
+            fs_vars = _cast_tree(fs_vars, self.compute_dtype)
+
         def loss_fn(params, xi, ci, ri):
+            if self.compute_dtype is not None:
+                params = _cast_tree(params, self.compute_dtype)
+                xi = xi.astype(self.compute_dtype)
             v = {
                 "transformer": {**variables["transformer"], "params": params},
-                "first_stage": variables["first_stage"],
+                "first_stage": fs_vars,
             }
             out = self.model.forward(v, xi, ci, train=True, rngs={"dropout": ri})
             total = self.model.loss(out)

@@ -47,3 +47,29 @@ def test_train_step_and_pad_freeze(dualformer):  # noqa: F811
 
     val = jax.jit(trainer.eval_step)(s, variables, x, x)
     assert np.isfinite(float(val["val_loss"]))
+
+
+def test_mixed_precision_bf16_step(dualformer):  # noqa: F811
+    import jax.numpy as jnp
+
+    model, variables = dualformer
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 64, 64, 3),
+                           minval=-1, maxval=1)
+    t32 = Stage2Trainer(model, learning_rate=1e-3, warmup_steps=0, max_steps=50)
+    t16 = Stage2Trainer(model, learning_rate=1e-3, warmup_steps=0, max_steps=50,
+                        compute_dtype="bfloat16")
+    state = t32.init_state(variables)
+    rng = jax.random.PRNGKey(6)
+    s32, logs32 = jax.jit(t32.train_step)(state, variables, x, x, rng)
+    s16, logs16 = jax.jit(t16.train_step)(state, variables, x, x, rng)
+    # master params remain f32 and move
+    leaves = jax.tree_util.tree_leaves(s16.params)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    import numpy as np
+
+    w32 = np.asarray(jax.tree_util.tree_leaves(s32.params)[0])
+    w16 = np.asarray(leaves[0])
+    assert not np.allclose(w16, np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+    # bf16 loss within bf16 resolution of the f32 loss at init
+    assert abs(float(logs16["train_loss"]) - float(logs32["train_loss"])) \
+        < 0.05 * max(1.0, abs(float(logs32["train_loss"])))
