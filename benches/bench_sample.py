@@ -37,6 +37,10 @@ def main():
 
     from dynamicvectorquantization_tpu.utils.instantiate import instantiate_from_config
 
+    kv = os.environ.get("DQVQ_BENCH_SAMPLE_KV")  # "int8" -> quantized caches
+    if kv:
+        params["transformer_config"]["params"]["kv_cache_dtype"] = kv
+
     model = instantiate_from_config(cfg["model"])
     batch = int(os.environ.get("DQVQ_BENCH_SAMPLE_BATCH", "8"))
     dtype = os.environ.get("DQVQ_BENCH_SAMPLE_DTYPE", "bfloat16")
@@ -88,6 +92,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": None,
         "vs_reference_est": round(ips / A100_SAMPLE_IPS_CEILING, 2),
+        "config": {"batch": batch, "dtype": dtype, "kv_cache": kv or dtype},
     }))
 
 

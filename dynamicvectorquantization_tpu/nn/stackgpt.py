@@ -75,6 +75,10 @@ class StackGPT(nn.Module):
     # Pallas flash attention for training (skips attn_pdrop; see
     # nn/transformer.py). Off by default for reference parity.
     use_flash_attention: bool = False
+    # "int8": decode KV caches quantized per (batch, head, position)
+    # (ops/kv_int8.py) — halves the HBM stream that dominates sampling.
+    # None: caches follow the param dtype passed to make_caches.
+    kv_cache_dtype: str | None = None
 
     def setup(self):
         emb = lambda n, name: nn.Embed(
@@ -221,6 +225,12 @@ class StackGPT(nn.Module):
         from .transformer import _DECODE_CHUNK
 
         max_len = ((max_len + _DECODE_CHUNK - 1) // _DECODE_CHUNK) * _DECODE_CHUNK
+        if self.kv_cache_dtype == "int8":
+            return (
+                KVCache.create_int8(self.position_layer, batch, self.n_head, max_len, hd),
+                KVCache.create_int8(self.content_layer, batch, self.n_head, max_len, hd),
+            )
+        assert self.kv_cache_dtype is None, self.kv_cache_dtype
         return (
             KVCache.create(self.position_layer, batch, self.n_head, max_len, hd, dtype),
             KVCache.create(self.content_layer, batch, self.n_head, max_len, hd, dtype),

@@ -27,7 +27,11 @@ class KVCache(NamedTuple):
     stacked (L, ...) array): inside a lax.while_loop each per-layer
     dynamic_update_slice then aliases its loop-carried buffer in place.
     A stacked layout forced XLA to re-materialize the full multi-hundred-MB
-    cache every decode step (measured ~10ms/token at p6c18 geometry)."""
+    cache every decode step (measured ~10ms/token at p6c18 geometry).
+
+    int8 layout (`create_int8`): per-layer 4-tuples
+    (k_i8, v_i8, k_scale, v_scale) with one absmax scale per
+    (batch, head, position) — halves the decode HBM stream (ops/kv_int8.py)."""
 
     layers: tuple  # tuple of (k, v) pairs, each (B, H, T_max, hd)
 
@@ -37,6 +41,22 @@ class KVCache(NamedTuple):
         return cls(
             tuple(
                 (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+                for _ in range(num_layers)
+            )
+        )
+
+    @classmethod
+    def create_int8(cls, num_layers, batch, num_heads, max_len, head_dim):
+        shape = (batch, num_heads, max_len, head_dim)
+        sshape = (batch, num_heads, max_len)
+        return cls(
+            tuple(
+                (
+                    jnp.zeros(shape, jnp.int8),
+                    jnp.zeros(shape, jnp.int8),
+                    jnp.ones(sshape, jnp.float32),
+                    jnp.ones(sshape, jnp.float32),
+                )
                 for _ in range(num_layers)
             )
         )
@@ -138,7 +158,21 @@ class CausalSelfAttention(nn.Module):
         v = heads(dense("value")(x))
 
         new_cache = None
-        if cache is not None:
+        if cache is not None and len(cache) == 4:
+            # int8 cache: (k_i8, v_i8, k_scale, v_scale) — decode-only (t == 1)
+            from ..ops.kv_int8 import decode_attention_int8, quantize_kv
+
+            assert t == 1, "int8 KV cache supports single-token decode only"
+            k_c, v_c, ks_c, vs_c = cache
+            kq, ks = quantize_kv(k)
+            vq, vs = quantize_kv(v)
+            k_c = jax.lax.dynamic_update_slice(k_c, kq, (0, 0, cache_index, 0))
+            v_c = jax.lax.dynamic_update_slice(v_c, vq, (0, 0, cache_index, 0))
+            ks_c = jax.lax.dynamic_update_slice(ks_c, ks, (0, 0, cache_index))
+            vs_c = jax.lax.dynamic_update_slice(vs_c, vs, (0, 0, cache_index))
+            new_cache = (k_c, v_c, ks_c, vs_c)
+            y = decode_attention_int8(q, k_c, v_c, ks_c, vs_c, cache_index)
+        elif cache is not None:
             k_cache, v_cache = cache
             # write this step's k/v at cache_index (decode: t == 1)
             k_cache = jax.lax.dynamic_update_slice(

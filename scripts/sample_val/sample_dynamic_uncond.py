@@ -33,16 +33,24 @@ def get_parser():
     p.add_argument("--sample_with_fixed_pos", action="store_true")
     p.add_argument("--save_grids", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--kv_cache_dtype", type=str, default=None,
+                   choices=("int8",),
+                   help="int8: quantized decode KV caches (ops/kv_int8.py) — "
+                        "halves the HBM stream that dominates sampling")
     return p
 
 
-def load_model_and_variables(yaml_path, model_path, seed=0):
+def load_model_and_variables(yaml_path, model_path, seed=0, kv_cache_dtype=None):
     import jax
 
     from dynamicvectorquantization_tpu.config.yaml_config import load_config
     from dynamicvectorquantization_tpu.utils.instantiate import instantiate_from_config
 
     config = load_config([yaml_path])
+    if kv_cache_dtype:
+        config["model"]["params"]["transformer_config"]["params"][
+            "kv_cache_dtype"
+        ] = kv_cache_dtype
     model = instantiate_from_config(config["model"])
 
     if model_path and model_path.endswith((".ckpt", ".pth", ".pt")):
@@ -85,7 +93,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    model, variables = load_model_and_variables(opt.yaml_path, opt.model_path, opt.seed)
+    model, variables = load_model_and_variables(
+        opt.yaml_path, opt.model_path, opt.seed, opt.kv_cache_dtype
+    )
 
     os.makedirs(os.path.join(opt.save_path, "numpys"), exist_ok=True)
 
