@@ -1,0 +1,176 @@
+"""Dynamic-batching inference engine for DQ-Transformer sampling.
+
+The reference has no serving story (its samplers are offline scripts,
+`scripts/sample_val/*`); this is the TPU-native production-serving piece:
+one resident jitted sampler compiled at a FIXED batch size (XLA static
+shapes — one compile, reused forever), a request queue in front of it, and
+a background worker that coalesces concurrent requests into full device
+batches (padding the tail). Callers get concurrent.futures.Future results,
+so a web tier can multiplex thousands of clients over one chip.
+
+Throughput rationale: sampling cost is per-BATCH dominated (weight streaming
++ KV reads amortize over rows — measured 6.6 img/s at batch 8 vs 16.4 at
+batch 64 with int8 caches, README perf table), so coalescing is the
+difference between latency-bound and throughput-bound serving.
+
+Sampling knobs (temperature/top_k/...) are fixed at engine construction:
+they are traced into the compiled sampler (lax.top_k needs a static k);
+per-request variation would force recompiles. Run one engine per knob set.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+
+@dataclass
+class _Request:
+    n: int
+    seed: int
+    future: Future = field(default_factory=Future)
+
+
+class BatchingSampler:
+    """Coalesces generate() calls into fixed-size device batches.
+
+    model: a Dualformer (or subclass); variables: its full variable tree.
+    Images are returned as float numpy arrays in [-1, 1], NHWC.
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        max_batch: int = 16,
+        max_wait_ms: float = 20.0,
+        temperature: float = 1.0,
+        top_k: int = 300,
+        top_k_pos: int = 1024,
+        top_p: float = 1.0,
+        top_p_pos: float = 1.0,
+        fix_fine_position: bool = False,
+        bf16: bool | None = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self.model = model
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        if bf16 is None:
+            bf16 = jax.default_backend() == "tpu"
+        if bf16:
+            variables = dict(variables)
+            variables["transformer"] = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a,
+                variables["transformer"],
+            )
+        self._variables = variables
+
+        def sample(variables, rng):
+            c = model.encode_to_c(jnp.zeros((self.max_batch, 1)))
+            out = model.sample_from_scratch(
+                variables, *c, rng=rng,
+                temperature=temperature,
+                top_k=top_k, top_p=top_p,
+                top_k_pos=top_k_pos, top_p_pos=top_p_pos,
+                fix_fine_position=fix_fine_position,
+            )
+            return model.decode_to_img(variables, *out)
+
+        self._sample = jax.jit(sample)
+        self._queue: "queue.Queue[_Request | None]" = queue.Queue()
+        self._closed = False
+        self.batches_run = 0
+        self.images_served = 0
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------ API
+    def submit(self, n: int = 1, seed: int | None = None) -> Future:
+        """Queue a request for `n` images; resolves to (n, H, W, 3) float."""
+        if self._closed:
+            raise RuntimeError("BatchingSampler is closed")
+        if not (1 <= n <= self.max_batch):
+            raise ValueError(f"n must be in [1, {self.max_batch}], got {n}")
+        req = _Request(n=n, seed=-1 if seed is None else int(seed))
+        self._queue.put(req)
+        return req.future
+
+    def generate(self, n: int = 1, seed: int | None = None, timeout=None):
+        """Blocking submit()."""
+        return self.submit(n, seed).result(timeout=timeout)
+
+    def close(self):
+        if not self._closed:
+            self._closed = True
+            self._queue.put(None)
+            self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # --------------------------------------------------------------- worker
+    def _collect(self):
+        """One request, then whatever arrives within max_wait_s, up to a full
+        batch."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        batch, rows = [first], first.n
+        import time
+
+        t_end = time.monotonic() + self.max_wait_s
+        while rows < self.max_batch:
+            remaining = t_end - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req is None:
+                self._queue.put(None)  # propagate shutdown after this batch
+                break
+            if rows + req.n > self.max_batch:
+                # doesn't fit — run it in the next batch
+                self._queue.put(req)
+                break
+            batch.append(req)
+            rows += req.n
+        return batch
+
+    def _run(self):
+        import jax
+        import numpy as np
+
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            try:
+                # one PRNG stream per batch, mixing in every request seed;
+                # reproducible for an identical request sequence (batch
+                # composition is part of the stream by construction)
+                key = jax.random.PRNGKey(batch[0].seed if batch[0].seed >= 0
+                                         else self.batches_run)
+                for r in batch[1:]:
+                    if r.seed >= 0:
+                        key = jax.random.fold_in(key, r.seed)
+                imgs = np.asarray(self._sample(self._variables, key))
+                self.batches_run += 1
+                row = 0
+                for r in batch:
+                    r.future.set_result(imgs[row: row + r.n])
+                    row += r.n
+                    self.images_served += r.n
+            except Exception as e:  # pragma: no cover - device failures
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
