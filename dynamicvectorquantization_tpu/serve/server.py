@@ -109,6 +109,16 @@ class BatchingSampler:
             self._closed = True
             self._queue.put(None)
             self._worker.join()
+            # fail any requests that were still queued behind the sentinel
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if req is not None and not req.future.done():
+                    req.future.set_exception(
+                        RuntimeError("BatchingSampler closed")
+                    )
 
     def __enter__(self):
         return self
