@@ -30,6 +30,7 @@ def main():
     batch = int(os.environ.get("DQVQ_BENCH_S2_BATCH", "8"))
     iters = int(os.environ.get("DQVQ_BENCH_S2_ITERS", "10"))
     use_flash = os.environ.get("DQVQ_BENCH_S2_FLASH", "0") == "1"
+    accum = int(os.environ.get("DQVQ_BENCH_S2_ACCUM", "1"))
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = load_config([os.path.join(repo, "configs/stage2/uncond_imagenet_p6c18.yml")])
@@ -42,15 +43,16 @@ def main():
     model = instantiate_from_config(cfg["model"])
     dtype = os.environ.get("DQVQ_BENCH_S2_DTYPE", "bfloat16")
     trainer = Stage2Trainer(model, learning_rate=5e-4, warmup_steps=0,
-                            max_steps=10_000,
+                            max_steps=10_000, accum=accum,
                             compute_dtype=None if dtype == "float32" else dtype)
 
     fs_vars = model.first_stage_model.init(jax.random.PRNGKey(0))
     variables = model.init(jax.random.PRNGKey(1), fs_vars)
     state = trainer.init_state(variables)
 
-    x = jax.random.uniform(jax.random.PRNGKey(2), (batch, 256, 256, 3),
-                           minval=-1, maxval=1)
+    shape = ((batch, 256, 256, 3) if accum == 1
+             else (accum, batch, 256, 256, 3))
+    x = jax.random.uniform(jax.random.PRNGKey(2), shape, minval=-1, maxval=1)
     step = jax.jit(trainer.train_step, donate_argnums=(0,))
 
     t0 = time.perf_counter()
@@ -70,13 +72,14 @@ def main():
                            jax.random.PRNGKey(4 + i))
     float(logs["train_loss"])
     dt = time.perf_counter() - t0
-    ips = batch * iters / dt
+    ips = accum * batch * iters / dt
     print(json.dumps({
         "metric": "dqtransformer_train_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": None,
         "config": {"batch": batch, "flash": use_flash, "dtype": dtype,
+                   "accum": accum,
                    "loss": round(float(logs["train_loss"]), 4)},
     }))
 

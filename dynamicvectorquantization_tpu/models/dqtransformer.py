@@ -86,10 +86,13 @@ class Dualformer:
         ckpt_path=None,
         ignore_keys=(),
         compute_dtype=None,
+        dropout_prng_impl="rbg",
     ):
         # bf16 mixed-precision training knob, consumed by Stage2Trainer
         # (f32 master params; forward/backward in compute_dtype)
         self.compute_dtype = compute_dtype
+        # dropout PRNG backend, consumed by Stage2Trainer (see train/stage2.py)
+        self.dropout_prng_impl = dropout_prng_impl
         cond_cfg = uncond_stage_config or cond_stage_config
         self.transformer = instantiate_from_config(transformer_config)
         self.first_stage_model: DualGrainVQModel = instantiate_from_config(

@@ -365,6 +365,7 @@ class Trainer:
             max_steps=model.training_steps,
             accum=self.accum,
             compute_dtype=getattr(model, "compute_dtype", None),
+            dropout_prng_impl=getattr(model, "dropout_prng_impl", "rbg"),
         )
         # first stage weights from its config ckpt_path (reference embeds the
         # stage-1 ckpt under first_stage_config.params.ckpt_path)

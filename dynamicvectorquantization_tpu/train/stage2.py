@@ -50,7 +50,7 @@ def _cast_tree(tree, dtype):
 class Stage2Trainer:
     def __init__(self, model, learning_rate, min_learning_rate=0.0,
                  warmup_steps=0, max_steps=1_000_000, accum=1,
-                 compute_dtype=None):
+                 compute_dtype=None, dropout_prng_impl="rbg"):
         self.model = model
         # mixed precision (TPU-native; the reference trains f32): forward /
         # backward in `compute_dtype` (bf16) against f32 master params —
@@ -60,6 +60,13 @@ class Stage2Trainer:
             jnp.dtype(compute_dtype) if compute_dtype not in (None, "float32")
             else None
         )
+        # Dropout PRNG: attn_pdrop=0.1 needs a (B, H, T, T) mask per layer —
+        # ~1e9 random samples per step at p6c18 geometry. jax's default
+        # threefry PRNG generates these on the VPU and dominated the train
+        # step; "rbg" uses the hardware RNG (still deterministic per key).
+        # Pattern identity vs the reference is meaningless for dropout, so
+        # this is not a parity deviation. Set "threefry" to keep the default.
+        self.dropout_prng_impl = dropout_prng_impl
         # accum>1: train_step takes (accum, B, ...) microbatches, averages
         # grads, one optimizer update (reference `accumulate_grad_batches`).
         self.accum = int(accum)
@@ -110,6 +117,13 @@ class Stage2Trainer:
         fs_vars = variables["first_stage"]
         if self.compute_dtype is not None:
             fs_vars = _cast_tree(fs_vars, self.compute_dtype)
+
+        if self.dropout_prng_impl != "threefry":
+            # re-seed the dropout stream on the fast PRNG (see __init__)
+            rng = jax.random.key(
+                jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max),
+                impl=self.dropout_prng_impl,
+            )
 
         def loss_fn(params, xi, ci, ri):
             if self.compute_dtype is not None:
