@@ -9,6 +9,7 @@ Env: DQVQ_BENCH_S2_BATCH (default 8), DQVQ_BENCH_S2_ITERS (default 3),
 DQVQ_BENCH_S2_FLASH=1 enables the Pallas flash-attention training path.
 """
 import json
+import numpy as np
 import os
 import sys
 import time
@@ -31,6 +32,8 @@ def main():
     iters = int(os.environ.get("DQVQ_BENCH_S2_ITERS", "10"))
     use_flash = os.environ.get("DQVQ_BENCH_S2_FLASH", "0") == "1"
     accum = int(os.environ.get("DQVQ_BENCH_S2_ACCUM", "1"))
+    # K>1: K full optimizer steps per dispatch (Stage2Trainer.train_steps)
+    steps_per_call = int(os.environ.get("DQVQ_BENCH_S2_STEPS_PER_CALL", "1"))
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = load_config([os.path.join(repo, "configs/stage2/uncond_imagenet_p6c18.yml")])
@@ -52,35 +55,40 @@ def main():
 
     shape = ((batch, 256, 256, 3) if accum == 1
              else (accum, batch, 256, 256, 3))
+    if steps_per_call > 1:
+        shape = (steps_per_call,) + shape
+        many = jax.jit(trainer.train_steps, donate_argnums=(0,))
+        step = lambda s, v, xi, ci, r: many(s, v, xi, None, r)
+    else:
+        step = jax.jit(trainer.train_step, donate_argnums=(0,))
     x = jax.random.uniform(jax.random.PRNGKey(2), shape, minval=-1, maxval=1)
-    step = jax.jit(trainer.train_step, donate_argnums=(0,))
 
     t0 = time.perf_counter()
     state, logs = step(state, variables, x, x, jax.random.PRNGKey(3))
-    float(logs["train_loss"])
+    float(np.ravel(np.asarray(logs["train_loss"]))[-1])
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # the first few post-compile dispatches through the axon tunnel are slow
     # (QUIRKS: timing methodology) — warm up before timing
     for w in range(2):
         state, logs = step(state, variables, x, x, jax.random.PRNGKey(100 + w))
-    float(logs["train_loss"])
+    float(np.ravel(np.asarray(logs["train_loss"]))[-1])
 
     t0 = time.perf_counter()
     for i in range(iters):
         state, logs = step(state, variables, x + jnp.float32(i) * 1e-8, x,
                            jax.random.PRNGKey(4 + i))
-    float(logs["train_loss"])
+    float(np.ravel(np.asarray(logs["train_loss"]))[-1])
     dt = time.perf_counter() - t0
-    ips = accum * batch * iters / dt
+    ips = steps_per_call * accum * batch * iters / dt
     print(json.dumps({
         "metric": "dqtransformer_train_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": None,
         "config": {"batch": batch, "flash": use_flash, "dtype": dtype,
-                   "accum": accum,
-                   "loss": round(float(logs["train_loss"]), 4)},
+                   "accum": accum, "steps_per_call": steps_per_call,
+                   "loss": round(float(np.ravel(logs["train_loss"])[-1]), 4)},
     }))
 
 

@@ -180,6 +180,29 @@ class Stage2Trainer:
         }
         return Stage2State(params, opt, state.step + 1, state.epoch), logs
 
+    def train_steps(self, state: Stage2State, variables, xs, cs, rng):
+        """K full optimizer steps in ONE compiled program (lax.scan).
+
+        xs (and cs when conditional): (K, B, ...). Semantically identical to
+        K sequential `train_step` calls (the optimizer runs every step,
+        unlike accum microbatching); returns per-step stacked logs. Amortizes
+        the per-dispatch host overhead — one dispatch per K steps.
+        """
+        k = xs.shape[0]
+        rs = jax.random.split(rng, k)
+
+        def body(s, inp):
+            if cs is None:
+                xi, ri = inp
+                ci = xi
+            else:
+                xi, ci, ri = inp
+            s, logs = self.train_step(s, variables, xi, ci, ri)
+            return s, logs
+
+        ins = (xs, rs) if cs is None else (xs, cs, rs)
+        return jax.lax.scan(body, state, ins)
+
     def eval_step(self, state: Stage2State, variables, x, c):
         v = {
             "transformer": {**variables["transformer"], "params": state.params},

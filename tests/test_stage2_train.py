@@ -49,6 +49,35 @@ def test_train_step_and_pad_freeze(dualformer):  # noqa: F811
     assert np.isfinite(float(val["val_loss"]))
 
 
+def test_train_steps_scan_matches_sequential(dualformer):  # noqa: F811
+    import jax.numpy as jnp
+
+    model, variables = dualformer
+    trainer = Stage2Trainer(model, learning_rate=1e-3, warmup_steps=0,
+                            max_steps=50)
+    xs = jax.random.uniform(jax.random.PRNGKey(9), (2, 2, 64, 64, 3),
+                            minval=-1, maxval=1)
+    rng = jax.random.PRNGKey(10)
+
+    s_seq = trainer.init_state(variables)
+    for i, ri in enumerate(jax.random.split(rng, 2)):
+        s_seq, logs_seq = jax.jit(trainer.train_step)(
+            s_seq, variables, xs[i], xs[i], ri)
+
+    s_scan, logs_scan = jax.jit(trainer.train_steps)(
+        trainer.init_state(variables), variables, xs, None, rng)
+    assert logs_scan["train_loss"].shape == (2,)
+    np.testing.assert_allclose(
+        float(logs_scan["train_loss"][1]), float(logs_seq["train_loss"]),
+        rtol=1e-5)
+    a = jax.tree_util.tree_leaves(s_seq.params)
+    b = jax.tree_util.tree_leaves(s_scan.params)
+    for x_, y_ in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x_), np.asarray(y_),
+                                   atol=1e-6, rtol=1e-5)
+    assert int(s_scan.step) == 2
+
+
 def test_mixed_precision_bf16_step(dualformer):  # noqa: F811
     import jax.numpy as jnp
 
