@@ -85,6 +85,7 @@ class Trainer:
         resume: bool = True,
         profile_steps: int = 0,
         accumulate_grad_batches: int = 1,
+        steps_per_dispatch: int = 1,
         opt_sharding: bool = False,
         fsdp: bool = False,
         logtype: str = "csv",
@@ -103,6 +104,11 @@ class Trainer:
         # averaged inside the train step). Trailing incomplete groups at
         # epoch end are dropped.
         self.accum = int(accumulate_grad_batches)
+        # TPU-native (no reference analog): run K full optimizer steps per
+        # dispatch (trainer.train_steps lax.scan) — amortizes per-dispatch
+        # host overhead. Logging/image cadence then ticks once per K steps;
+        # trailing incomplete groups at epoch end are dropped (like accum).
+        self.steps_per_dispatch = int(steps_per_dispatch)
         # reference --activate_ddp_share ("ddp_sharded" / ZeRO-1): shard the
         # adam moments over dp, keep params replicated
         self.opt_sharding = opt_sharding
@@ -155,6 +161,19 @@ class Trainer:
         for item in gen:
             buf.append(item)
             if len(buf) == self.accum:
+                yield jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *buf)
+                buf = []
+
+    def _group_steps(self, gen):
+        """Stack groups of `steps_per_dispatch` step inputs to (K, ...);
+        pass-through at K=1."""
+        if self.steps_per_dispatch == 1:
+            yield from gen
+            return
+        buf = []
+        for item in gen:
+            buf.append(item)
+            if len(buf) == self.steps_per_dispatch:
                 yield jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *buf)
                 buf = []
 
@@ -257,11 +276,17 @@ class Trainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         x_sh = b_sh if self.accum == 1 else NamedSharding(self.mesh, P(None, "dp"))
+        k = self.steps_per_dispatch
+        if k > 1:
+            x_sh = NamedSharding(
+                self.mesh, P(*((None,) * (1 if self.accum == 1 else 2)), "dp")
+            )
         st_sh = self._state_shardings(state, ("ae_opt", "disc_opt"),
                                       param_fields=("ae_params", "loss_params"))
         if st_sh is not None:
             state = jax.device_put(state, st_sh)
-        step_fn = jax.jit(trainer.train_step, in_shardings=(st_sh, x_sh, None),
+        step_fn = jax.jit(trainer.train_steps if k > 1 else trainer.train_step,
+                          in_shardings=(st_sh, x_sh, None),
                           out_shardings=(st_sh, None) if st_sh else None,
                           donate_argnums=(0,))
         eval_fn = jax.jit(trainer.eval_step, in_shardings=(None, b_sh))
@@ -284,21 +309,26 @@ class Trainer:
                     model.get_input(batch, model.image_key)
                     for batch in device_prefetch(train_loader.epoch(epoch), b_sh)
                 )
-                for bi, x in enumerate(self._group_microbatches(inputs)):
+                groups = self._group_steps(self._group_microbatches(inputs))
+                for bi, x in enumerate(groups):
                     if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
                         break
                     rng, sub = jax.random.split(rng)
                     self._maybe_profile(int(state.step))
                     state, logs = step_fn(state, x, sub)
+                    if k > 1:  # per-step stacked logs -> last step's
+                        logs = jax.tree_util.tree_map(lambda a: a[-1], logs)
+                        x = x[-1]
                     if guard.should_stop:
                         self._emergency_save(mngr, state, guard.reason)
                         return state
                     gs = int(state.step)
                     x_vis = x if self.accum == 1 else x[0]
                     if bi % self.log_every == 0:
-                        logs_np = {k: float(v) for k, v in logs.items()}
+                        logs_np = {k_: float(v) for k_, v in logs.items()}
                         logs_np["images_per_sec"] = (
-                            self.accum * x_vis.shape[0] * (bi + 1) / (time.time() - t0)
+                            k * self.accum * x_vis.shape[0] * (bi + 1)
+                            / (time.time() - t0)
                         )
                         # reference LearningRateMonitor (train.py:207-213)
                         logs_np["lr"] = float(trainer.ae_schedule(gs))
@@ -390,13 +420,25 @@ class Trainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         x_sh = b_sh if self.accum == 1 else NamedSharding(self.mesh, P(None, "dp"))
+        k = self.steps_per_dispatch
+        if k > 1:
+            x_sh = NamedSharding(
+                self.mesh, P(*((None,) * (1 if self.accum == 1 else 2)), "dp")
+            )
         st_sh = self._state_shardings(state, ("opt",), param_fields=("params",))
         if st_sh is not None:
             state = jax.device_put(state, st_sh)
-        step_fn = jax.jit(trainer.train_step,
-                          in_shardings=(st_sh, None, x_sh, x_sh, None),
-                          out_shardings=(st_sh, None) if st_sh else None,
-                          donate_argnums=(0,))
+        if k > 1:
+            step_fn = jax.jit(
+                lambda s, v, xs, cs, r: trainer.train_steps(s, v, xs, cs, r),
+                in_shardings=(st_sh, None, x_sh, x_sh, None),
+                out_shardings=(st_sh, None) if st_sh else None,
+                donate_argnums=(0,))
+        else:
+            step_fn = jax.jit(trainer.train_step,
+                              in_shardings=(st_sh, None, x_sh, x_sh, None),
+                              out_shardings=(st_sh, None) if st_sh else None,
+                              donate_argnums=(0,))
         eval_fn = jax.jit(trainer.eval_step, in_shardings=(None, None, b_sh, b_sh))
 
         if eval_only:
@@ -419,12 +461,16 @@ class Trainer:
                     _xc(batch)
                     for batch in device_prefetch(train_loader.epoch(epoch), b_sh)
                 )
-                for bi, (x, c) in enumerate(self._group_microbatches(inputs)):
+                groups = self._group_steps(self._group_microbatches(inputs))
+                for bi, (x, c) in enumerate(groups):
                     if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
                         break
                     rng, sub = jax.random.split(rng)
                     self._maybe_profile(int(state.step))
                     state, logs = step_fn(state, variables, x, c, sub)
+                    if k > 1:  # per-step stacked logs -> last step's
+                        logs = jax.tree_util.tree_map(lambda a: a[-1], logs)
+                        x, c = x[-1], c[-1]
                     if guard.should_stop:
                         self._emergency_save(mngr, state, guard.reason)
                         return state

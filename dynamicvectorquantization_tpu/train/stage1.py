@@ -365,6 +365,23 @@ class Stage1Trainer:
         return new_state, logs
 
     # -------------------------------------------------------------- eval step
+    def train_steps(self, state: Stage1State, xs, rng):
+        """K full GAN steps (AE + disc optimizers) in ONE compiled program.
+
+        xs: (K, B, H, W, C) (or (K, accum, B, ...) with accum > 1).
+        Semantically identical to K sequential `train_step` calls; one
+        dispatch per K steps amortizes the per-dispatch host overhead
+        (same rationale as Stage2Trainer.train_steps). Returns per-step
+        stacked logs."""
+        k = xs.shape[0]
+        rs = jax.random.split(rng, k)
+
+        def body(s, inp):
+            xi, ri = inp
+            return self.train_step(s, xi, ri)
+
+        return jax.lax.scan(body, state, (xs, rs))
+
     def eval_step(self, state: Stage1State, x):
         net_vars = {"params": state.ae_params, "ema": state.ema}
         xrec, qloss, grain_indices, gate, _ = self.net.apply(net_vars, x)

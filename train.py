@@ -43,6 +43,11 @@ def get_parser():
     p.add_argument("--max_steps_per_epoch", type=int, default=None,
                    help="cap steps (smoke runs)")
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="run K full optimizer steps per device dispatch "
+                        "(lax.scan; amortizes host overhead — measured "
+                        "28.9->37.6 img/s at K=4 on stage 2). Logging/image "
+                        "cadence ticks once per K steps")
     p.add_argument("--logtype", type=str, default="csv",
                    help="metric sinks: csv | tensorboard | wandb | all "
                         "(csv/jsonl always written)")
@@ -133,6 +138,7 @@ def main():
         resume=bool(opt.resume),
         profile_steps=opt.profile_steps,
         accumulate_grad_batches=opt.accumulate_grad_batches,
+        steps_per_dispatch=opt.steps_per_dispatch,
         opt_sharding=opt.activate_ddp_share,
         fsdp=opt.activate_fsdp,
         logtype=opt.logtype,
