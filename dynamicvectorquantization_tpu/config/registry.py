@@ -53,7 +53,7 @@ TARGET_ALIASES = {
     # ---- vector quantization ----
     "modules.vector_quantization.quantize2_mask.VectorQuantize2": f"{_PKG}.ops.vq.VectorQuantizeEMA",
     "modules.vector_quantization.quantize2.VectorQuantize2": f"{_PKG}.ops.vq.VectorQuantizeEMA",
-    "modules.vector_quantization.quantize_codebook_mask.MaskVectorQuantize": f"{_PKG}.ops.vq.VectorQuantizeEMA",
+    "modules.vector_quantization.quantize_codebook_mask.MaskVectorQuantize": f"{_PKG}.ops.quantizers.MaskVectorQuantize",
     # ---- losses / discriminator ----
     "modules.losses.vqperceptual_multidisc.VQLPIPSWithDiscriminator": f"{_PKG}.losses.vqperceptual.VQLPIPSWithDiscriminator",
     "modules.losses.vqperceptual.VQLPIPSWithDiscriminator": f"{_PKG}.losses.vqperceptual.VQLPIPSWithDiscriminator",

@@ -137,8 +137,12 @@ class CLIPTextEmbedding:
         self.pick_last_embedding = pick_last_embedding
         self.keep_seq_len_dim = keep_seq_len_dim
         self.additional_last_embedding = additional_last_embedding
-        self.embed_dim = cfg["embed_dim"] * 2 if embed_dim == 1024 else cfg["embed_dim"]
-        self._double = embed_dim == 1024
+        # reference (`modules/text_encoders/clip_text_embedding.py`): sets
+        # self.embed_dim = proj.shape[1] * 2 and duplicates features only when
+        # the REALIZED width*2 == 1024 — not whatever embed_dim was requested
+        # (a 768-wide ViT-L tower must NOT emit 1536-d duplicated features).
+        self._double = cfg["embed_dim"] * 2 == 1024
+        self.embed_dim = cfg["embed_dim"] * 2 if self._double else cfg["embed_dim"]
 
         weights_path = weights_path or os.environ.get("DQVQ_CLIP_WEIGHTS")
         if weights_path and os.path.exists(weights_path):
@@ -168,7 +172,13 @@ class CLIPTextEmbedding:
     def __call__(self, index):
         index = jnp.asarray(index)
         assert index.ndim == 2
-        feats = self.encode_text(index)
+        # one tower forward: both the picked features and the
+        # additional_last_embedding derive from the same (seq, pooled) pair
+        tokens = jnp.maximum(index.astype(jnp.int32), 0)  # ref :49
+        seq, pooled = self._apply(self.variables, tokens)
+        feats = pooled if self.pick_last_embedding else seq
+        if self.pick_last_embedding and self.keep_seq_len_dim:
+            feats = feats[:, None, :]
         text_features = (
             jnp.concatenate([feats, feats], axis=-1) if self._double else feats
         )
@@ -177,8 +187,7 @@ class CLIPTextEmbedding:
                 text_features, axis=-1, keepdims=True
             )
         if self.additional_last_embedding:
-            tokens = jnp.maximum(jnp.asarray(index, jnp.int32), 0)
-            _, last = self._apply(self.variables, tokens)
+            last = pooled
             if self.keep_seq_len_dim:
                 last = last[:, None, :]
             return text_features, last

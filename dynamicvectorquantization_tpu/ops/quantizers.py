@@ -283,3 +283,114 @@ class RQBottleneck(nn.Module):
         for d in range(self.code_shape[-1]):
             out = out + self.codebooks[d].get_codebook_entry(codes[..., d])
         return out
+
+
+class MaskVectorQuantize(nn.Module):
+    """Gradient-trained masked quantizer (reference
+    `modules/vector_quantization/quantize_codebook_mask.py:15-185`), the
+    commented-out alternative VQ target in
+    `configs/stage1/dqvae-entropy-dual-r05_imagenet.yml:66`.
+
+    Semantics vs the flagship EMA quantizer (`ops/vq.VectorQuantizeEMA`):
+
+      * the codebook is an ordinary *parameter* trained by the AE optimizer
+        through the codebook-side loss term `mean((x_q - sg(x))^2 * mask)`
+        (reference `:118-121`) — no EMA buffers, no restarts;
+      * optional kmeans codebook init from the first batch's features
+        (reference `init_embed_` + `initted` buffer, `:57-75`) — realized
+        flax-natively like ActNorm DDI: the param initializer closes over the
+        init-time input, so `model.init(rng, sample_batch)` IS the "first
+        forward" that seeds the codebook;
+      * optional cosine-similarity code selection (`:98-104`);
+      * gumbel-sampled assignment at temp > 0 (`utils.gumbel_sample`, rng
+        collection "vq");
+      * masked commitment scaled by `ratio = 1/mean(mask)` (`:116-118`);
+      * orthogonal regularizer, eq (2) of arXiv:2112.00384 (`:123-130`).
+    """
+
+    codebook_size: int = 1024
+    codebook_dim: int = 256
+    kmeans_init: bool = False
+    kmeans_iters: int = 10
+    use_cosine_sim: bool = False
+    commitment_beta: float = 0.25
+    orthogonal_reg_weight: float = 0.0
+    activate_mask_quantize: bool = True
+    accept_image_fmap: bool = True
+
+    @nn.compact
+    def __call__(self, x, codebook_mask=None, temp=0.0, train: bool = False, **_):
+        from .quantize_lucidrains import _l2norm, kmeans
+
+        d = x.shape[-1]
+        assert d == self.codebook_dim, (x.shape, self.codebook_dim)
+        flat = x.reshape(-1, d)
+
+        def init_embed(rng):
+            if self.kmeans_init:
+                return kmeans(
+                    rng,
+                    jax.lax.stop_gradient(flat),
+                    self.codebook_size,
+                    self.kmeans_iters,
+                    use_cosine=self.use_cosine_sim,
+                )
+            return jax.random.uniform(
+                rng,
+                (self.codebook_size, d),
+                jnp.float32,
+                -1.0 / self.codebook_size,
+                1.0 / self.codebook_size,
+            )
+
+        emb = self.param("embedding", init_embed)
+
+        if self.use_cosine_sim:
+            # similarity (higher = closer), reference `:98-104`
+            dist = _l2norm(jax.lax.stop_gradient(flat)) @ _l2norm(
+                jax.lax.stop_gradient(emb)
+            ).T
+        else:
+            f = jax.lax.stop_gradient(flat)
+            e = jax.lax.stop_gradient(emb)
+            dist = (
+                -jnp.sum(f**2, axis=1, keepdims=True)
+                - jnp.sum(e**2, axis=1)[None]
+                + 2.0 * f @ e.T
+            )
+        if temp > 0 and train:
+            g = -jnp.log(-jnp.log(
+                jax.random.uniform(self.make_rng("vq"), dist.shape, minval=1e-9,
+                                   maxval=1.0 - 1e-9)
+            ))
+            idx = jnp.argmax(dist / temp + g, axis=-1)
+        else:
+            idx = jnp.argmax(dist, axis=-1)
+
+        x_q = jnp.take(emb, idx, axis=0).reshape(x.shape)  # grads reach emb
+
+        if codebook_mask is not None and self.activate_mask_quantize:
+            mask = codebook_mask.reshape(x.shape[:-1] + (1,)).astype(x.dtype)
+            ratio = 1.0 / jnp.mean(mask)
+            loss = ratio * self.commitment_beta * jnp.mean(
+                (jax.lax.stop_gradient(x_q) - x) ** 2 * mask
+            ) + ratio * jnp.mean((x_q - jax.lax.stop_gradient(x)) ** 2 * mask)
+        else:
+            loss = self.commitment_beta * jnp.mean(
+                (jax.lax.stop_gradient(x_q) - x) ** 2
+            ) + jnp.mean((x_q - jax.lax.stop_gradient(x)) ** 2)
+
+        if self.orthogonal_reg_weight > 0.0:
+            en = _l2norm(emb)
+            diff = en @ en.T - jnp.eye(self.codebook_size, dtype=en.dtype)
+            loss = loss + self.orthogonal_reg_weight * jnp.sum(diff**2) / (
+                self.codebook_size**2
+            )
+
+        x_q = x + jax.lax.stop_gradient(x_q - x)
+        code = idx.reshape(x.shape[:-1])
+        return x_q, loss, (None, None, code)
+
+    def get_codebook_entry(self, indices):
+        emb = self.get_variable("params", "embedding")
+        return jnp.take(emb, indices, axis=0)

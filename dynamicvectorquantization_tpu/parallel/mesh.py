@@ -101,20 +101,67 @@ def opt_state_shardings(mesh: Mesh, opt_state, min_elements: int = 65536,
     trades an all-gather of the (lr-scaled) updates for 1/n of the optimizer
     memory — on TPU the gather rides ICI inside the one GSPMD program.
     """
-    ndev = mesh.devices.size
-
     def spec(leaf):
-        shape = getattr(leaf, "shape", ())
-        if int(np.prod(shape, dtype=np.int64)) < min_elements:
-            return NamedSharding(mesh, P())
-        for i, d in enumerate(shape):
-            if d >= ndev and d % ndev == 0:
-                parts = [None] * len(shape)
-                parts[i] = axis_name
-                return NamedSharding(mesh, P(*parts))
-        return NamedSharding(mesh, P())
+        return zero1_leaf_spec(mesh, leaf, min_elements, axis_name)
 
     return jax.tree_util.tree_map(spec, opt_state)
+
+
+def zero1_leaf_spec(mesh: Mesh, leaf, min_elements: int = 65536,
+                    axis_name: str = "dp") -> NamedSharding:
+    """The ZeRO-1 per-leaf rule: shard the first `axis size`-divisible axis of
+    big leaves over `axis_name`; small/non-divisible leaves replicated."""
+    n = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
+    shape = getattr(leaf, "shape", ())
+    if int(np.prod(shape, dtype=np.int64)) < min_elements:
+        return NamedSharding(mesh, P())
+    for i, d in enumerate(shape):
+        if d >= n and d % n == 0:
+            parts = [None] * len(shape)
+            parts[i] = axis_name
+            return NamedSharding(mesh, P(*parts))
+    return NamedSharding(mesh, P())
+
+
+def tree_shardings_like(mesh: Mesh, tree, params, param_shardings,
+                        fallback=None):
+    """Sharding tree for an optimizer state that MATCHES its params' layout.
+
+    Optax states embed param-shaped subtrees (adam mu/nu): every leaf of
+    `tree` whose key-path ends with some param's key-path gets that param's
+    sharding, so tp-sharded params keep their moments tp-sharded (no
+    resharding traffic in the update). Non-matching leaves (step counters,
+    ...) use `fallback(leaf)` when given (e.g. the ZeRO-1 rule to dp-shard
+    moments of tp-replicated params) or replication.
+    """
+    from jax.tree_util import (
+        keystr,
+        tree_flatten_with_path,
+        tree_structure,
+        tree_unflatten,
+    )
+
+    p_flat = tree_flatten_with_path(params)[0]
+    sh_leaves = jax.tree_util.tree_leaves(param_shardings)
+    assert len(p_flat) == len(sh_leaves)
+    pmap = {keystr(path): sh for (path, _), sh in zip(p_flat, sh_leaves)}
+    repl = NamedSharding(mesh, P())
+    out = []
+    leaves = tree_flatten_with_path(tree)[0]
+    for path, leaf in leaves:
+        ks = keystr(path)
+        # longest matching suffix wins (shorter param paths can be proper
+        # suffixes of deeper ones when module names repeat)
+        best = None
+        for pk, s in pmap.items():
+            if ks.endswith(pk) and (best is None or len(pk) > len(best[0])):
+                best = (pk, s)
+        if best is not None:
+            sh = best[1]
+        else:
+            sh = fallback(leaf) if fallback is not None else repl
+        out.append(sh)
+    return tree_unflatten(tree_structure(tree), out)
 
 
 def fsdp_param_shardings(mesh: Mesh, params, min_elements: int = 65536,

@@ -83,6 +83,7 @@ class BatchingSampler:
 
         self._sample = jax.jit(sample)
         self._queue: "queue.Queue[_Request | None]" = queue.Queue()
+        self._pending: "_Request | None" = None  # displaced head-of-line request
         self._closed = False
         self.batches_run = 0
         self.images_served = 0
@@ -109,6 +110,11 @@ class BatchingSampler:
             self._closed = True
             self._queue.put(None)
             self._worker.join()
+            if self._pending is not None and not self._pending.future.done():
+                self._pending.future.set_exception(
+                    RuntimeError("BatchingSampler closed")
+                )
+                self._pending = None
             # fail any requests that were still queued behind the sentinel
             while True:
                 try:
@@ -130,7 +136,10 @@ class BatchingSampler:
     def _collect(self):
         """One request, then whatever arrives within max_wait_s, up to a full
         batch."""
-        first = self._queue.get()
+        if self._pending is not None:
+            first, self._pending = self._pending, None
+        else:
+            first = self._queue.get()
         if first is None:
             return None
         batch, rows = [first], first.n
@@ -149,8 +158,12 @@ class BatchingSampler:
                 self._queue.put(None)  # propagate shutdown after this batch
                 break
             if rows + req.n > self.max_batch:
-                # doesn't fit — run it in the next batch
-                self._queue.put(req)
+                # doesn't fit — hold it in a worker-local slot and make it the
+                # FIRST member of the next batch (re-queueing at the back of
+                # the FIFO could starve it indefinitely under sustained load,
+                # and a seeded request's PRNG stream is only fully honored
+                # when first in batch)
+                self._pending = req
                 break
             batch.append(req)
             rows += req.n

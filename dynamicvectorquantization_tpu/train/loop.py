@@ -88,6 +88,7 @@ class Trainer:
         steps_per_dispatch: int = 1,
         opt_sharding: bool = False,
         fsdp: bool = False,
+        tp: int = 1,
         logtype: str = "csv",
     ):
         self.logdir = logdir
@@ -95,7 +96,27 @@ class Trainer:
         self.seed = seed
         self.log_every = log_every
         self.save_top_k = save_top_k
-        self.mesh = mesh if mesh is not None else make_mesh()
+        # --tp N: Megatron-style tensor parallelism for the stage-2
+        # transformer over a (dp, tp) mesh (`parallel/mesh.make_mesh_2d` +
+        # `stage2_param_shardings`) — a one-flag scaling axis matching the
+        # reference's CLI bar (`/root/reference/train.py:227-230`), beyond
+        # its DDP-only strategy. Composes with --activate_ddp_share (ZeRO-1
+        # moments over dp) and --activate_fsdp (tp-replicated leaves
+        # dp-sharded).
+        self.tp = int(tp)
+        if mesh is None:
+            if self.tp > 1:
+                import jax as _jax
+
+                ndev = len(_jax.devices())
+                if ndev % self.tp:
+                    raise ValueError(f"--tp {tp} does not divide {ndev} devices")
+                from ..parallel.mesh import make_mesh_2d
+
+                mesh = make_mesh_2d(ndev // self.tp, self.tp)
+            else:
+                mesh = make_mesh()
+        self.mesh = mesh
         self.max_steps_per_epoch = max_steps_per_epoch
         self.resume = resume
         self.profile_steps = profile_steps
@@ -150,6 +171,40 @@ class Trainer:
                 for f in param_fields
             })
         return tree._replace(**fields)
+
+    def _stage2_state_shardings(self, state):
+        """Stage-2 state sharding tree: tensor parallelism (params split per
+        `stage2_param_shardings`, moments following their params via
+        `tree_shardings_like`), composed with ZeRO-1 / FSDP on the
+        tp-replicated leaves; falls back to `_state_shardings` when tp=1."""
+        if self.tp <= 1:
+            return self._state_shardings(state, ("opt",), param_fields=("params",))
+        from ..parallel.mesh import (
+            replicated,
+            stage2_param_shardings,
+            tree_shardings_like,
+            zero1_leaf_spec,
+        )
+
+        repl = replicated(self.mesh)
+        p_sh = stage2_param_shardings(self.mesh, state.params)
+        if self.fsdp:
+            # 2D FSDP+TP: leaves the tp rules left replicated get dp-sharded
+            from jax.sharding import PartitionSpec as _P
+
+            p_sh = jax.tree_util.tree_map(
+                lambda leaf, sh: sh if sh.spec != _P() else zero1_leaf_spec(
+                    self.mesh, leaf, self.shard_min_elements),
+                state.params, p_sh,
+            )
+        fallback = None
+        if self.opt_sharding or self.fsdp:
+            fallback = lambda l: zero1_leaf_spec(
+                self.mesh, l, self.shard_min_elements)
+        o_sh = tree_shardings_like(self.mesh, state.opt, state.params, p_sh,
+                                   fallback=fallback)
+        tree = jax.tree_util.tree_map(lambda _: repl, state)
+        return tree._replace(params=p_sh, opt=o_sh)
 
     def _group_microbatches(self, gen):
         """Yield pytrees of step inputs: pass-through at accum=1, else stacked
@@ -249,6 +304,11 @@ class Trainer:
 
     # --------------------------------------------------------------- stage 1
     def _fit_stage1(self, model, data, train_loader, warmup_steps, eval_only=False):
+        if self.tp > 1:
+            raise ValueError(
+                "--tp targets the stage-2 transformer; stage-1 (conv DQ-VAE) "
+                "scales with dp / --activate_ddp_share / --activate_fsdp"
+            )
         trainer = Stage1Trainer(
             model,
             learning_rate=model.learning_rate,
@@ -311,7 +371,10 @@ class Trainer:
                 )
                 groups = self._group_steps(self._group_microbatches(inputs))
                 for bi, x in enumerate(groups):
-                    if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
+                    # cadences/budgets are in OPTIMIZER steps: with
+                    # steps_per_dispatch K>1 each iteration advances K steps
+                    if (self.max_steps_per_epoch
+                            and bi * k >= self.max_steps_per_epoch):
                         break
                     rng, sub = jax.random.split(rng)
                     self._maybe_profile(int(state.step))
@@ -324,7 +387,7 @@ class Trainer:
                         return state
                     gs = int(state.step)
                     x_vis = x if self.accum == 1 else x[0]
-                    if bi % self.log_every == 0:
+                    if (bi * k) % self.log_every < k:
                         logs_np = {k_: float(v) for k_, v in logs.items()}
                         logs_np["images_per_sec"] = (
                             k * self.accum * x_vis.shape[0] * (bi + 1)
@@ -333,7 +396,7 @@ class Trainer:
                         # reference LearningRateMonitor (train.py:207-213)
                         logs_np["lr"] = float(trainer.ae_schedule(gs))
                         self.metrics.log(gs, logs_np, "train")
-                    if self.images.should_log(bi):
+                    if self.images.should_log(bi * k, k):
                         self._log_stage1_images(model, forward_fn, state, x_vis,
                                                 "train", gs, epoch, bi)
                 state = state._replace(epoch=state.epoch + 1)
@@ -396,6 +459,10 @@ class Trainer:
             accum=self.accum,
             compute_dtype=getattr(model, "compute_dtype", None),
             dropout_prng_impl=getattr(model, "dropout_prng_impl", "rbg"),
+            # the fused Pallas optimizer operates on unsharded (replicated or
+            # dp-replicated) leaves; under tensor parallelism the optax chain
+            # runs sharded via GSPMD instead
+            fused_adamw=False if self.tp > 1 else None,
         )
         # first stage weights from its config ckpt_path (reference embeds the
         # stage-1 ckpt under first_stage_config.params.ckpt_path)
@@ -425,7 +492,7 @@ class Trainer:
             x_sh = NamedSharding(
                 self.mesh, P(*((None,) * (1 if self.accum == 1 else 2)), "dp")
             )
-        st_sh = self._state_shardings(state, ("opt",), param_fields=("params",))
+        st_sh = self._stage2_state_shardings(state)
         if st_sh is not None:
             state = jax.device_put(state, st_sh)
         if k > 1:
@@ -463,7 +530,9 @@ class Trainer:
                 )
                 groups = self._group_steps(self._group_microbatches(inputs))
                 for bi, (x, c) in enumerate(groups):
-                    if self.max_steps_per_epoch and bi >= self.max_steps_per_epoch:
+                    # optimizer-step units (see stage-1 loop note)
+                    if (self.max_steps_per_epoch
+                            and bi * k >= self.max_steps_per_epoch):
                         break
                     rng, sub = jax.random.split(rng)
                     self._maybe_profile(int(state.step))
@@ -474,11 +543,11 @@ class Trainer:
                     if guard.should_stop:
                         self._emergency_save(mngr, state, guard.reason)
                         return state
-                    if bi % self.log_every == 0:
-                        logs_np = {k: float(v) for k, v in logs.items()}
+                    if (bi * k) % self.log_every < k:
+                        logs_np = {k_: float(v) for k_, v in logs.items()}
                         logs_np["lr"] = float(trainer.schedule(int(state.step)))
                         self.metrics.log(int(state.step), logs_np, "train")
-                    if self.images.should_log(bi):
+                    if self.images.should_log(bi * k, k):
                         self._log_stage2_images(
                             model, variables, state,
                             x if self.accum == 1 else x[0],

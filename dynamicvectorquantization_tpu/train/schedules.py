@@ -32,4 +32,56 @@ def make_schedule(scheduler_type: str, base_lr, warmup_steps, max_steps, min_lr=
         return linear_warmup(base_lr, warmup_steps)
     if scheduler_type == "linear-warmup_cosine-decay":
         return warmup_cosine(base_lr, warmup_steps, max_steps, min_lr / max(base_lr, 1e-20))
+    if scheduler_type == "lambda-warmup-cosine":
+        # modules/scheduler/lr_scheduler.py multiplier schedule x base_lr
+        def _s(step):
+            return base_lr * lambda_warmup_cosine(
+                warmup_steps, min_lr / max(base_lr, 1e-20), 1.0, 0.0, max_steps
+            )(step)
+
+        return _s
+    if scheduler_type == "gradual-warmup":
+        return gradual_warmup(base_lr, warmup_steps, 0, 1.0,
+                              max_steps - warmup_steps, min_lr)
     raise NotImplementedError(scheduler_type)
+
+
+def lambda_warmup_cosine(warm_up_steps: int, lr_min: float, lr_max: float,
+                         lr_start: float, max_decay_steps: int):
+    """Reference `modules/scheduler/lr_scheduler.py:10-38`
+    (LambdaWarmUpCosineScheduler; dead code there — no shipped config reaches
+    it — ported for inventory completeness). A *multiplier* schedule ("use
+    with a base_lr of 1.0"): linear lr_start->lr_max over warm_up_steps, then
+    cosine lr_max->lr_min over (max_decay_steps - warm_up_steps)."""
+
+    def schedule(step):
+        warm = (lr_max - lr_start) / max(warm_up_steps, 1) * step + lr_start
+        t = (step - warm_up_steps) / jnp.maximum(max_decay_steps - warm_up_steps, 1)
+        t = jnp.minimum(t, 1.0)
+        cos = lr_min + 0.5 * (lr_max - lr_min) * (1 + jnp.cos(t * jnp.pi))
+        return jnp.where(step < warm_up_steps, warm, cos)
+
+    return schedule
+
+
+def gradual_warmup(base_lr: float, steps: int, buffer_steps: int,
+                   multiplier: float, cosine_steps: int, min_lr: float = 0.0,
+                   start_from_zero: bool = True):
+    """Reference `modules/scheduler/scheduler.py:49-101` (GradualWarmup +
+    Scheduler chaining into CosineAnnealingLR; also unreachable from shipped
+    configs). Warmup to multiplier*base_lr over `steps`, hold through
+    `buffer_steps`, then cosine-anneal to `min_lr` over `cosine_steps`."""
+
+    def schedule(step):
+        if start_from_zero:
+            m = multiplier * jnp.minimum(1.0, step / jnp.maximum(steps, 1))
+        else:
+            m = 1 + (multiplier - 1) * jnp.minimum(1.0, step / jnp.maximum(steps, 1))
+        warm_lr = base_lr * m
+        t = (step - steps - buffer_steps) / jnp.maximum(cosine_steps, 1)
+        t = jnp.clip(t, 0.0, 1.0)
+        peak = base_lr * multiplier
+        cos_lr = min_lr + 0.5 * (peak - min_lr) * (1 + jnp.cos(t * jnp.pi))
+        return jnp.where(step <= steps + buffer_steps, warm_lr, cos_lr)
+
+    return schedule

@@ -121,8 +121,12 @@ class ImageLogger:
         self.batch_frequency = batch_frequency
         self.max_images = max_images
 
-    def should_log(self, batch_idx: int) -> bool:
-        return batch_idx % self.batch_frequency == 0
+    def should_log(self, batch_idx: int, width: int = 1) -> bool:
+        """True when `batch_idx` lands on (or, with `width`>1, within `width`
+        steps after) a multiple of the frequency. `width` is used by the
+        steps-per-dispatch loops, whose batch counter advances K optimizer
+        steps per iteration and can jump over exact multiples."""
+        return batch_idx % self.batch_frequency < width
 
     def log(self, images: Mapping[str, np.ndarray], split: str, global_step: int,
             epoch: int, batch_idx: int):

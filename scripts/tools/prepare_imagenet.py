@@ -58,7 +58,12 @@ def _safe_extract(tar: tarfile.TarFile, dest: str):
         target = os.path.realpath(os.path.join(dest, m.name))
         if not target.startswith(dest_real + os.sep) and target != dest_real:
             raise RuntimeError(f"blocked path traversal in tar member {m.name}")
-    tar.extractall(path=dest, filter="data")
+    try:
+        tar.extractall(path=dest, filter="data")
+    except TypeError:
+        # Python < 3.10.12/3.11.4: no `filter` kwarg; the realpath pre-scan
+        # above already blocks path traversal
+        tar.extractall(path=dest)
 
 
 def _write_filelist(root, split):

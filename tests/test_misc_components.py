@@ -89,3 +89,37 @@ def test_viz_and_loggers(tmp_path):
     assert il.should_log(0) and not il.should_log(5)
     il.log({"inputs": imgs}, "train", 1, 0, 0)
     assert len(list((tmp_path / "images" / "train").glob("*.png"))) == 1
+
+
+def test_reference_scheduler_ports():
+    """`modules/scheduler/lr_scheduler.py:10-38` (LambdaWarmUpCosineScheduler)
+    and `scheduler.py:49-101` (GradualWarmup chain) — dead code in the
+    reference (no config reaches them) but ported for inventory completeness
+    (VERDICT r02 #10)."""
+    import numpy as np
+
+    from dynamicvectorquantization_tpu.train.schedules import (
+        gradual_warmup,
+        lambda_warmup_cosine,
+        make_schedule,
+    )
+
+    s = lambda_warmup_cosine(10, 0.1, 1.0, 0.0, 100)
+
+    def ref(n):  # the reference schedule() verbatim in numpy
+        if n < 10:
+            return (1.0 - 0.0) / 10 * n + 0.0
+        t = min((n - 10) / (100 - 10), 1.0)
+        return 0.1 + 0.5 * (1.0 - 0.1) * (1 + np.cos(t * np.pi))
+
+    for n in [0, 5, 10, 50, 100, 150]:
+        assert abs(float(s(n)) - ref(n)) < 1e-6
+
+    g = gradual_warmup(1e-3, 10, 5, 2.0, 100, 1e-5)
+    assert abs(float(g(10)) - 2e-3) < 1e-8  # warmup peak = multiplier*base
+    assert abs(float(g(15)) - 2e-3) < 1e-8  # held through buffer_steps
+    assert 9.9e-6 < float(g(115)) < 2e-3  # annealing
+    assert abs(float(g(1000)) - 1e-5) < 1e-8  # floor = min_lr
+
+    for t in ["lambda-warmup-cosine", "gradual-warmup"]:
+        assert make_schedule(t, 1e-4, 10, 100, 0.0) is not None

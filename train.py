@@ -54,6 +54,10 @@ def get_parser():
     p.add_argument("--activate_ddp_share", action="store_true",
                    help="shard optimizer state over the dp axis (the "
                         "reference's ddp_sharded / ZeRO-1 strategy)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree for the stage-2 transformer "
+                        "((dp, tp) mesh; composes with --activate_ddp_share/"
+                        "--activate_fsdp)")
     p.add_argument("--activate_fsdp", action="store_true",
                    help="also shard the params over dp (ZeRO-3 analog; "
                         "GSPMD gathers weights at use, reduce-scatters grads)")
@@ -141,6 +145,7 @@ def main():
         steps_per_dispatch=opt.steps_per_dispatch,
         opt_sharding=opt.activate_ddp_share,
         fsdp=opt.activate_fsdp,
+        tp=opt.tp,
         logtype=opt.logtype,
     )
     do_train = str(opt.train).lower() not in ("false", "0", "no")
