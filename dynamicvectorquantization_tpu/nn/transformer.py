@@ -104,32 +104,16 @@ def _chunked_decode_attention(q, k_cache, v_cache, cache_index):
     return (acc / l[..., None]).astype(q.dtype)
 
 
-def _flash_causal_attention(q, k, v, sm_scale):
-    """Pallas TPU flash attention (training path): pads seq to a block
-    multiple; padded KEYS are never attended (causal + real queries < pad
-    start), padded QUERY outputs are sliced away."""
-    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
-
-    b, h, t, d = q.shape
-    block = 512 if t >= 512 else 128
-    t_pad = ((t + block - 1) // block) * block
-    if t_pad != t:
-        pad = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-    out = flash_attention(q, k, v, causal=True, sm_scale=sm_scale)
-    return out[:, :, :t, :]
-
-
 class CausalSelfAttention(nn.Module):
     n_embd: int
     n_head: int
     attn_pdrop: float = 0.0
     resid_pdrop: float = 0.0
-    # Pallas flash attention for the full-sequence (training) path. Flash has
-    # no attention-probability dropout, so it refuses attn_pdrop > 0 rather
-    # than silently training a different model.
+    # Fused Pallas attention for the full-sequence (training) path
+    # (ops/attention_pallas.py) — unlike the stock flash kernel it SUPPORTS
+    # attention-probability dropout (in-kernel PRNG, mask regenerated in the
+    # backward), so the shipped attn_pdrop=0.1 config can use it. Falls back
+    # to the naive XLA path off-TPU, with attn_bias, or beyond T=2048.
     use_flash_attention: bool = False
 
     @nn.compact
@@ -141,11 +125,6 @@ class CausalSelfAttention(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,  # scalar int
         attn_bias: Optional[jnp.ndarray] = None,  # (B, 1, T, T) additive
     ):
-        if self.use_flash_attention and self.attn_pdrop > 0:
-            raise ValueError(
-                "use_flash_attention=True requires attn_pdrop == 0 (the flash "
-                f"kernel has no attention dropout); got attn_pdrop={self.attn_pdrop}"
-            )
         b, t, c = x.shape
         hd = c // self.n_head
         dense = lambda name: nn.Dense(c, kernel_init=normal_init(0.02), name=name)
@@ -198,8 +177,20 @@ class CausalSelfAttention(nn.Module):
             self.use_flash_attention
             and attn_bias is None
             and jax.default_backend() == "tpu"
+            and t <= 2048  # K/V VMEM residency bound (= StackGPT block_size cap)
         ):
-            y = _flash_causal_attention(q, k, v, sm_scale=1.0 / float(hd) ** 0.5)
+            from ..ops.attention_pallas import fused_causal_attention
+
+            rate = float(self.attn_pdrop) if not deterministic else 0.0
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max
+                )
+            else:
+                seed = 0
+            y = fused_causal_attention(
+                q, k, v, seed, rate, 1.0 / float(hd) ** 0.5, False
+            )
         else:
             att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
             causal = jnp.tril(jnp.ones((t, t), bool))

@@ -1,0 +1,240 @@
+"""Greedy sampling parity vs the ACTUAL reference sampler (VERDICT r02 #4).
+
+Drives the reference's `Dualformer.sample_from_scratch`
+(`/root/reference/models/stage2_dynamic/dqtransformer_uncond_entropy.py:302-466`,
+full-prefix recompute, per-sample python ban loops) next to our KV-cached
+static-buffer sampler at temperature->0 (`sample=False` = greedy top-1, no
+RNG on either side) from the SAME converted weights:
+
+  * the COARSE phase must match token-for-token (positions and contents,
+    including the post-EOS pad enforcement);
+  * with `fix_fine_position=True` the fine position schedule is a
+    deterministic function of the coarse positions — must match exactly;
+  * fine CONTENTS: ours follow TRAINING semantics (QUIRKS #11 — the
+    reference sampler rebuilds the content-transformer input with UNSHIFTED
+    coarse position embeddings, `stackgpt.py:330-332`, inconsistent with its
+    own training forward `stackgpt.py:204`). We assert (a) every fine content
+    we sample is the greedy argmax of the reference's *training-mode* forward
+    on the same prefix (the "we sample the way the model was trained" claim),
+    and (b) the reference's sample-path fine logits genuinely differ from its
+    train-path logits (the quirk exists).
+"""
+import importlib
+
+import numpy as np
+import pytest
+import torch
+
+from tests.test_reference_parity import (  # noqa: F401 (ref fixture)
+    REF_ROOT,
+    _model_kwargs,
+    _our_kwargs,
+    ref,
+)
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not REF_ROOT.exists(), reason="reference repo not available"),
+]
+
+CB = 64  # codebook size; coarse 4x4, fine 8x8 at 64^2 resolution
+
+
+def _stage2_params():
+    transformer = dict(
+        vocab_size=CB + 3, coarse_position_size=19, fine_position_size=CB + 3,
+        segment_size=2, block_size=256, position_layer=2, content_layer=2,
+        n_head=2, n_embd=32, embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0,
+        content_pad_code=CB, coarse_position_pad_code=16,
+        fine_position_pad_code=CB, activate_pad_ignore=True,
+    )
+    permuter = dict(
+        coarse_hw=4, fine_hw=8, content_pad_code=CB, content_eos_code=CB + 1,
+        coarse_position_pad_code=16, coarse_position_eos_code=17,
+        fine_position_pad_code=CB, fine_position_eos_code=CB + 1,
+        fine_position_order="row-first",
+    )
+    uncond = dict(
+        coarse_sos=CB + 2, coarse_pos_sos=18, fine_sos=CB + 2,
+        fine_pos_sos=CB + 2, coarse_seg_sos=0, fine_seg_sos=1,
+    )
+    return transformer, uncond, permuter
+
+
+@pytest.fixture(scope="module")
+def models(ref):  # noqa: F811
+    tp, up, pp = _stage2_params()
+    ref_mod = importlib.import_module(
+        "models.stage2_dynamic.dqtransformer_uncond_entropy"
+    )
+    torch.manual_seed(11)
+    ref_df = ref_mod.Dualformer(
+        transformer_config={
+            "target": "modules.dynamic_modules.stackgpt.StackGPT", "params": tp
+        },
+        first_stage_config={
+            "target": "models.stage1_dynamic.dqvae_dual_entropy.DualGrainVQModel",
+            "params": _model_kwargs(True),
+        },
+        uncond_stage_config={
+            "target": "modules.dynamic_modules.label_provider.PositionAwareSOSProvider",
+            "params": up,
+        },
+        permuter_config={
+            "target": "modules.dynamic_modules.permuter.DualGrainSeperatePermuter",
+            "params": pp,
+        },
+    ).eval()
+    with torch.no_grad():  # pos_emb inits to zeros; randomize to exercise it
+        ref_df.transformer.pos_emb.normal_(0.0, 0.02)
+
+    import jax
+
+    from dynamicvectorquantization_tpu.models.dqtransformer import Dualformer
+    from dynamicvectorquantization_tpu.utils.torch_ckpt import (
+        convert_stackgpt_state_dict,
+    )
+
+    ours = Dualformer(
+        transformer_config={
+            "target": "modules.dynamic_modules.stackgpt.StackGPT", "params": tp
+        },
+        first_stage_config={
+            "target": "models.stage1_dynamic.dqvae_dual_entropy.DualGrainVQModel",
+            "params": _our_kwargs(_model_kwargs(True)),
+        },
+        uncond_stage_config={
+            "target": "modules.dynamic_modules.label_provider.PositionAwareSOSProvider",
+            "params": up,
+        },
+        permuter_config={
+            "target": "modules.dynamic_modules.permuter.DualGrainSeperatePermuter",
+            "params": pp,
+        },
+    )
+    sd = {k: v.detach().numpy() for k, v in ref_df.state_dict().items()
+          if k.startswith("transformer.")}
+    tvars = convert_stackgpt_state_dict(sd, prefix="transformer.")
+    fs_vars = ours.first_stage_model.init(jax.random.PRNGKey(0))
+    variables = {"transformer": tvars, "first_stage": fs_vars}
+    return ref_df, ours, variables
+
+
+def _ref_greedy(ref_df, b):
+    x0 = torch.zeros(b, 3, 64, 64)
+    streams = ref_df.encode_to_c(x0)
+    with torch.no_grad():
+        out = ref_df.sample_from_scratch(
+            *streams, temperature=1.0, sample=False, top_k=None, top_p=None,
+            top_k_pos=None, top_p_pos=None, process=False,
+            fix_fine_position=True,
+        )
+    return streams, [o.numpy() for o in out]  # coarse, fine, pos_c, pos_f
+
+
+def _our_greedy(ours, variables, b):
+    import jax
+    import jax.numpy as jnp
+
+    c = ours.encode_to_c(jnp.zeros((b, 1), jnp.int32))
+    toks = ours.sample_from_scratch(
+        variables, *c, jax.random.PRNGKey(0), temperature=1.0, sample=False,
+        top_k=None, top_k_pos=None, fix_fine_position=True,
+    )
+    return [np.asarray(t) for t in toks]  # coarse, fine, pos_c, pos_f
+
+
+def _upto_eos(seq, eos):
+    idx = np.where(seq == eos)[0]
+    return seq[: idx[0] + 1] if len(idx) else seq
+
+
+def test_greedy_coarse_phase_token_for_token(models):
+    ref_df, ours, variables = models
+    b = 2
+    _, (r_coarse, r_fine, r_pos_c, r_pos_f) = _ref_greedy(ref_df, b)
+    o_coarse, o_fine, o_pos_c, o_pos_f = _our_greedy(ours, variables, b)
+
+    eos_pos = 17
+    for i in range(b):
+        rp = _upto_eos(r_pos_c[i], eos_pos)
+        op = _upto_eos(o_pos_c[i], eos_pos)
+        np.testing.assert_array_equal(op, rp, err_msg=f"coarse positions[{i}]")
+        n = len(rp)
+        np.testing.assert_array_equal(
+            o_coarse[i][:n], r_coarse[i][:n], err_msg=f"coarse contents[{i}]"
+        )
+        # fixed fine-position schedule is a pure function of the coarse
+        # positions -> must agree exactly (incl. its EOS)
+        rf = _upto_eos(r_pos_f[i], CB + 1)
+        np.testing.assert_array_equal(
+            o_pos_f[i][: len(rf)], rf, err_msg=f"fine positions[{i}]"
+        )
+
+
+def test_fine_contents_follow_training_semantics(models):
+    """QUIRKS #11 both ways: our fine contents == greedy of the reference's
+    TRAINING forward; the reference's sample-path fine logits != its own
+    train-path logits."""
+    ref_df, ours, variables = models
+    b = 1
+    (c_c, c_f, c_pc, c_pf, c_sc, c_sf), _ = _ref_greedy(ref_df, b)
+    o_coarse, o_fine, o_pos_c, o_pos_f = _our_greedy(ours, variables, b)
+
+    eos_pos, eos_fine = 17, CB + 1
+    nc = len(_upto_eos(o_pos_c[0], eos_pos))
+    nf = len(_upto_eos(o_pos_f[0], eos_fine))
+
+    # full streams incl. the condition prefix, truncated at EOS (no trailing
+    # pads -> causal logits match the incremental sampler exactly)
+    coarse_content = np.concatenate([c_c.numpy(), o_coarse[:, :nc]], axis=1)
+    coarse_position = np.concatenate([c_pc.numpy(), o_pos_c[:, :nc]], axis=1)
+    fine_content = np.concatenate([c_f.numpy(), o_fine[:, :nf]], axis=1)
+    fine_position = np.concatenate([c_pf.numpy(), o_pos_f[:, :nf]], axis=1)
+    lc = coarse_content.shape[1]
+
+    t = lambda a: torch.from_numpy(a.astype(np.int64))
+    with torch.no_grad():
+        out = ref_df.transformer(
+            coarse_content=t(coarse_content), fine_content=t(fine_content),
+            coarse_position=t(coarse_position), fine_position=t(fine_position),
+            coarse_seg=torch.zeros_like(t(coarse_content)),
+            fine_seg=torch.ones_like(t(fine_content)),
+        )
+    logits = out["content_logits"][0].numpy()  # [t] predicts content[t+1]
+
+    banned = [CB, CB + 1, CB + 2]  # pad/eos/sos (reference content ban :547-558)
+    # global content-stream index of sampled fine token j is lc + 1 + j (the
+    # fine-sos prefix occupies lc); logits[t] predicts content[t+1], so f_j
+    # is predicted by logits[lc + j]
+    mismatches = []
+    for j in range(nf):
+        if o_pos_f[0, j] == eos_fine:
+            break
+        row = logits[lc + j].copy()
+        row[banned] = -np.inf
+        if int(row.argmax()) != int(o_fine[0, j]):
+            mismatches.append(j)
+    assert not mismatches, (
+        f"our fine contents diverge from reference TRAIN-forward greedy at {mismatches}"
+    )
+
+    # the quirk exists: reference sample-path fine-content logits differ from
+    # its own train-path logits at the same position
+    with torch.no_grad():
+        # caller convention (reference :393-394): the next fine position is
+        # already appended, so fine_position is one longer than fine_content
+        _, sample_logits = ref_df.transformer.sample_fine_content(
+            coarse_content=t(coarse_content),
+            fine_content=t(fine_content[:, :2]),
+            coarse_position=t(coarse_position),
+            fine_position=t(fine_position[:, :3]),
+            coarse_seg=torch.zeros_like(t(coarse_content)),
+            fine_seg=torch.ones_like(t(fine_content[:, :2])),
+            position_hidden=None,
+        )
+    train_row = logits[lc + 1]
+    sample_row = sample_logits[0, -1].numpy()
+    assert not np.allclose(sample_row, train_row, atol=1e-5), (
+        "expected QUIRKS #11 divergence between reference sample and train paths"
+    )
