@@ -79,6 +79,11 @@ class StackGPT(nn.Module):
     # (ops/kv_int8.py) — halves the HBM stream that dominates sampling.
     # None: caches follow the param dtype passed to make_caches.
     kv_cache_dtype: str | None = None
+    # Sequence parallelism: set to a mesh axis name (e.g. "sp") and apply the
+    # training forward inside shard_map with the sequence sharded on it —
+    # both stacks then use ring attention (parallel/ring_attention.py). Use
+    # `parallel.stackgpt_sp.stackgpt_forward_sp` for the full orchestration.
+    sequence_parallel_axis: str | None = None
 
     def setup(self):
         emb = lambda n, name: nn.Embed(
@@ -102,6 +107,7 @@ class StackGPT(nn.Module):
             attn_pdrop=self.attn_pdrop,
             resid_pdrop=self.resid_pdrop,
             use_flash_attention=self.use_flash_attention,
+            sequence_parallel_axis=self.sequence_parallel_axis,
             name=name,
         )
         self.position_transformer = stack(self.position_layer, "position_transformer")
@@ -136,49 +142,15 @@ class StackGPT(nn.Module):
         deterministic = not train
         coarse_length = coarse_position.shape[1]
 
-        content = jnp.concatenate([coarse_content, fine_content], axis=1)
-        content_embeddings = self.content_emb(content[:, :-1])
-
-        position_embeddings = jnp.concatenate(
-            [
-                self.content_coarse_pos_emb(coarse_position),
-                self.content_fine_pos_emb(fine_position[:, :-1]),
-            ],
-            axis=1,
+        x, shifted_position_embeddings, attn_bias = self.embed_training_inputs(
+            coarse_content, fine_content, coarse_position, fine_position,
+            coarse_seg, fine_seg, train=train,
         )
-        t = position_embeddings.shape[1]
-        position_embeddings = position_embeddings + self.pos_emb[:, :t, :]
-
-        x = content_embeddings + position_embeddings
-        if self.activate_segment:
-            segment = jnp.concatenate([coarse_seg, fine_seg], axis=1)
-            x = x + self.seg_emb(segment[:, :-1])
-        x = self.drop(x, deterministic=deterministic)
-
-        attn_bias = None
-        if self.mask_pad_attention:
-            is_pad = content[:, :-1] == self.content_pad_code  # (B, T)
-            attn_bias = jnp.where(is_pad[:, None, None, :], -1e9, 0.0)
-
-        position_hidden, _ = self.position_transformer(
-            x, deterministic=deterministic, attn_bias=attn_bias
+        out = self.forward_from_embeddings(
+            x, shifted_position_embeddings, attn_bias=attn_bias, train=train
         )
-
-        shifted_position_embeddings = jnp.concatenate(
-            [
-                self.content_coarse_pos_emb(coarse_position[:, 1:]),
-                self.content_fine_pos_emb(fine_position),
-            ],
-            axis=1,
-        )
-        content_hidden, _ = self.content_transformer(
-            position_hidden + shifted_position_embeddings,
-            deterministic=deterministic,
-            attn_bias=attn_bias,
-        )
-
-        content_logits = self.content_head(self.content_head_ln(content_hidden))
-        position_logits = self.position_head(self.position_head_ln(position_hidden))
+        position_logits = out["position_logits"]
+        content_logits = out["content_logits"]
 
         if content_target is None:
             return {"position_logits": position_logits, "content_logits": content_logits}
@@ -215,6 +187,78 @@ class StackGPT(nn.Module):
             "content_loss": closs,
             "coarse_position_loss": cpl,
             "fine_position_loss": fpl,
+        }
+
+    def embed_training_inputs(
+        self,
+        coarse_content,
+        fine_content,
+        coarse_position,
+        fine_position,
+        coarse_seg=None,
+        fine_seg=None,
+        train: bool = False,
+    ):
+        """Dense (unsharded) half of the training forward: token/position/
+        segment/absolute embeddings for the position transformer, the SHIFTED
+        position embeddings for the content transformer (reference
+        `stackgpt.py:204-207`), and the optional pad-key attention bias.
+        Split out so sequence parallelism can compute these cheaply outside
+        shard_map (`parallel/stackgpt_sp.py`)."""
+        deterministic = not train
+        content = jnp.concatenate([coarse_content, fine_content], axis=1)
+        content_embeddings = self.content_emb(content[:, :-1])
+
+        position_embeddings = jnp.concatenate(
+            [
+                self.content_coarse_pos_emb(coarse_position),
+                self.content_fine_pos_emb(fine_position[:, :-1]),
+            ],
+            axis=1,
+        )
+        t = position_embeddings.shape[1]
+        position_embeddings = position_embeddings + self.pos_emb[:, :t, :]
+
+        x = content_embeddings + position_embeddings
+        if self.activate_segment:
+            segment = jnp.concatenate([coarse_seg, fine_seg], axis=1)
+            x = x + self.seg_emb(segment[:, :-1])
+        x = self.drop(x, deterministic=deterministic)
+
+        attn_bias = None
+        if self.mask_pad_attention:
+            is_pad = content[:, :-1] == self.content_pad_code  # (B, T)
+            attn_bias = jnp.where(is_pad[:, None, None, :], -1e9, 0.0)
+
+        shifted_position_embeddings = jnp.concatenate(
+            [
+                self.content_coarse_pos_emb(coarse_position[:, 1:]),
+                self.content_fine_pos_emb(fine_position),
+            ],
+            axis=1,
+        )
+        return x, shifted_position_embeddings, attn_bias
+
+    def forward_from_embeddings(
+        self, x, shifted_position_embeddings, attn_bias=None, train: bool = False
+    ):
+        """Sharded-friendly half: both block stacks + heads. Everything here
+        is elementwise along the sequence except attention itself, so under
+        `sequence_parallel_axis` this is the exact region to shard_map."""
+        deterministic = not train
+        position_hidden, _ = self.position_transformer(
+            x, deterministic=deterministic, attn_bias=attn_bias
+        )
+        content_hidden, _ = self.content_transformer(
+            position_hidden + shifted_position_embeddings,
+            deterministic=deterministic,
+            attn_bias=attn_bias,
+        )
+        content_logits = self.content_head(self.content_head_ln(content_hidden))
+        position_logits = self.position_head(self.position_head_ln(position_hidden))
+        return {
+            "position_logits": position_logits,
+            "content_logits": content_logits,
         }
 
     # ------------------------------------------------------------ decoding

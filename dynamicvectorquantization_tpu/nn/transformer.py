@@ -115,6 +115,11 @@ class CausalSelfAttention(nn.Module):
     # backward), so the shipped attn_pdrop=0.1 config can use it. Falls back
     # to the naive XLA path off-TPU, with attn_bias, or beyond T=2048.
     use_flash_attention: bool = False
+    # Sequence parallelism: when set (e.g. "sp") the full-sequence path runs
+    # ring attention over that mesh axis (parallel/ring_attention.py) — the
+    # module must then be applied inside shard_map with the sequence axis
+    # sharded on it. Causality is handled globally by the ring schedule.
+    sequence_parallel_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -137,7 +142,18 @@ class CausalSelfAttention(nn.Module):
         v = heads(dense("value")(x))
 
         new_cache = None
-        if cache is not None and len(cache) == 4:
+        if self.sequence_parallel_axis is not None and cache is None:
+            if attn_bias is not None:
+                raise ValueError("sequence-parallel attention does not support attn_bias")
+            if self.attn_pdrop > 0 and not deterministic:
+                raise ValueError(
+                    "sequence-parallel training requires attn_pdrop == 0 "
+                    "(ring attention has no attention-probability dropout)"
+                )
+            from ..parallel.ring_attention import ring_attention
+
+            y = ring_attention(q, k, v, axis_name=self.sequence_parallel_axis)
+        elif cache is not None and len(cache) == 4:
             # int8 cache: (k_i8, v_i8, k_scale, v_scale) — decode-only (t == 1)
             from ..ops.kv_int8 import decode_attention_int8, quantize_kv
 
@@ -213,6 +229,7 @@ class Block(nn.Module):
     attn_pdrop: float = 0.0
     resid_pdrop: float = 0.0
     use_flash_attention: bool = False
+    sequence_parallel_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -229,6 +246,7 @@ class Block(nn.Module):
             self.attn_pdrop,
             self.resid_pdrop,
             self.use_flash_attention,
+            self.sequence_parallel_axis,
             name="attn",
         )(
             nn.LayerNorm(epsilon=1e-5, name="ln1")(x),
@@ -255,6 +273,7 @@ class TransformerStack(nn.Module):
     attn_pdrop: float = 0.0
     resid_pdrop: float = 0.0
     use_flash_attention: bool = False
+    sequence_parallel_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -274,6 +293,7 @@ class TransformerStack(nn.Module):
                 self.attn_pdrop,
                 self.resid_pdrop,
                 self.use_flash_attention,
+                self.sequence_parallel_axis,
                 name=f"h_{i}",
             )(
                 x,
