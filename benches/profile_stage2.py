@@ -37,6 +37,8 @@ def main():
     params["first_stage_config"]["params"]["ckpt_path"] = None
     params["permuter_config"]["params"]["coarse_max_len"] = 160
     params["permuter_config"]["params"]["fine_max_len"] = 644
+    if os.environ.get("DQVQ_BENCH_S2_FLASH", "0") == "1":
+        params["transformer_config"]["params"]["use_flash_attention"] = True
 
     model = instantiate_from_config(cfg["model"])
     trainer = Stage2Trainer(model, learning_rate=5e-4, warmup_steps=0,

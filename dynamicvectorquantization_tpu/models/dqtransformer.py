@@ -186,6 +186,19 @@ class Dualformer:
         """Build prefixed streams + shifted targets, run StackGPT
         (reference `dqtransformer_uncond_entropy.py:180-215`)."""
         _, z = self.encode_to_z(variables, x)
+        return self.forward_tokens(variables, z, c, train=train, rngs=rngs)
+
+    def forward_tokens(self, variables, z, c, train=False, rngs=None):
+        """`forward` from PRE-ENCODED permuter streams `z` (the dict
+        `encode_to_z` returns). The first stage is frozen, so its codes for a
+        given image never change — a cached-codes pipeline encodes the
+        dataset ONCE and trains the transformer from token streams, removing
+        the per-step frozen conv encode (~25 ms of the profiled p6c18 step;
+        the reference re-encodes every step, `dqtransformer_uncond_entropy.py:166-171`).
+        Exposed via Stage2Trainer.encode_dataset + dict-dispatching
+        train/eval steps (campaign --cached-codes)."""
+        if isinstance(c, dict):  # uncond: any stream leaf carries the batch dim
+            c = c["coarse_content"]
         c_coarse, c_fine, c_pos_coarse, c_pos_fine, c_seg_coarse, c_seg_fine = (
             self.encode_to_c(c)
         )

@@ -137,9 +137,42 @@ class CausalSelfAttention(nn.Module):
         def heads(z):
             return z.reshape(b, t, self.n_head, hd).transpose(0, 2, 1, 3)
 
-        q = heads(dense("query")(x))
-        k = heads(dense("key")(x))
-        v = heads(dense("value")(x))
+        qr = dense("query")(x)  # (B, T, D) — pre-head-split
+        kr = dense("key")(x)
+        vr = dense("value")(x)
+
+        # the fused kernel consumes (B, T, D) directly (its grid slices
+        # heads) — materializing the head transpose for a custom call costs
+        # ~1.4 ms/copy at p6c18 geometry (profiled); take this branch BEFORE
+        # transposing
+        if (
+            cache is None
+            and self.sequence_parallel_axis is None
+            and self.use_flash_attention
+            and attn_bias is None
+            and jax.default_backend() == "tpu"
+            and t <= 2048  # K/V VMEM residency bound (= StackGPT block_size cap)
+        ):
+            from ..ops.attention_pallas import fused_causal_attention
+
+            rate = float(self.attn_pdrop) if not deterministic else 0.0
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max
+                )
+            else:
+                seed = 0
+            y = fused_causal_attention(
+                qr, kr, vr, seed, self.n_head, rate, 1.0 / float(hd) ** 0.5,
+                False,
+            )
+            y = dense("proj")(y)
+            y = nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
+            return y, None
+
+        q = heads(qr)
+        k = heads(kr)
+        v = heads(vr)
 
         new_cache = None
         if self.sequence_parallel_axis is not None and cache is None:
@@ -189,24 +222,6 @@ class CausalSelfAttention(nn.Module):
                 att = jnp.where(valid, att, jnp.finfo(att.dtype).min)
                 att = jax.nn.softmax(att, axis=-1)
                 y = jnp.einsum("bhqk,bhkd->bhqd", att, v_cache)
-        elif (
-            self.use_flash_attention
-            and attn_bias is None
-            and jax.default_backend() == "tpu"
-            and t <= 2048  # K/V VMEM residency bound (= StackGPT block_size cap)
-        ):
-            from ..ops.attention_pallas import fused_causal_attention
-
-            rate = float(self.attn_pdrop) if not deterministic else 0.0
-            if rate > 0.0:
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max
-                )
-            else:
-                seed = 0
-            y = fused_causal_attention(
-                q, k, v, seed, rate, 1.0 / float(hd) ** 0.5, False
-            )
         else:
             att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
             causal = jnp.tril(jnp.ones((t, t), bool))

@@ -4,29 +4,30 @@ Why not jax's stock flash kernel: the shipped p6c18 config trains with
 attn_pdrop=0.1 (`configs/stage2/uncond_imagenet_p6c18.yml:24`), which the
 stock `flash_attention` cannot express — and at the ~808-token sequences the
 StackGPT actually sees, its multi-pass online-softmax machinery measured
-SLOWER than XLA's naive path (VERDICT r02 "what's weak" #1). At these lengths
-the whole K/V fits VMEM, so this kernel takes the simpler shape:
+SLOWER than XLA's naive path (VERDICT r02 "what's weak" #1).
 
-  grid (B*H, T/QB): per query block, S = Q K^T over the FULL key length in
-  one shot (no online softmax), causal mask, f32 softmax, in-kernel dropout
-  from the per-core PRNG, (P/keep) V on the MXU.
+Layout is the whole game at this size. The first cut of this kernel took
+(B, H, T, hd) — XLA then materialized the head transpose + pad of every
+q/k/v/dy as ~1.4 ms async copies, ~70 ms/step across 24 layers (profiled),
+eating the entire win. This version consumes the projection outputs
+(B, T, D) DIRECTLY: the grid is (batch, head, query-block) and each head's
+hd-slice is carved by the BlockSpec index_map (column offsets are 128-lane
+aligned), so no transpose, no pad, no copies exist anywhere.
 
-The naive XLA path materializes per layer per step the (B, H, T, T) probs to
-HBM (forward + saved-for-backward + dropout mask) — ~600 MB/layer at p6c18
-geometry, ~35 ms of the 191 ms profiled step across 24 layers. This kernel
-streams only q/k/v/dy and writes y/dq/dk/dv; the probabilities never leave
-VMEM. The backward kernel recomputes S and regenerates the SAME dropout mask
-from the same per-(head, query-block) seed — nothing is stored.
+Per grid step: S = Q_blk K^T over the FULL key length (fits VMEM at these
+lengths — no online softmax), causal mask, f32 softmax, in-kernel dropout
+from the per-core PRNG, (P/keep) V on the MXU. The backward regenerates the
+SAME dropout mask from the same per-(b, h, q-block) seed and recomputes S —
+nothing is stored; probabilities never touch HBM. The naive path's ~600
+MB/layer of materialized (B, H, T, T) probs + masks is gone.
 
 Dropout semantics match `nn.Dropout` on the softmaxed probabilities
-(reference `stackgpt.py:55` `att = self.attn_drop(F.softmax(att, dim=-1))`):
-zero out with prob `rate`, scale survivors by 1/keep. Mask bit-pattern parity
-with torch/jax host PRNGs is meaningless (dropout is noise); rate and scaling
-are what define the regularizer.
+(reference `stackgpt.py:55`): zero with prob `rate`, scale survivors by
+1/keep. Bit-pattern parity with host PRNGs is meaningless for dropout; rate
+and scaling define the regularizer.
 
-Sequence-length domain: T padded to 128; K/V VMEM residency bounds T at
-~2048 for hd=128 (the StackGPT block_size cap) — callers fall back to the
-naive path beyond that.
+Domain: T <= ~2048 (the StackGPT block_size cap; full-T K/V VMEM residency);
+callers fall back to the naive path beyond that.
 """
 from __future__ import annotations
 
@@ -44,32 +45,28 @@ def _causal_mask(qi, qb, t):
     return cols <= rows
 
 
+def _pl_ids():
+    from jax.experimental import pallas as pl
+
+    return pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+
 def _dropout_bits(seed_ref, shape, rate):
-    """uint32 bits -> keep mask with P(keep) = 1-rate; seeded per grid step
-    so forward and backward regenerate the identical mask."""
+    """uint32 bits -> keep mask with P(keep) = 1-rate; seeded per (b, h,
+    q-block) so forward and backward regenerate the identical mask."""
     from jax.experimental.pallas import tpu as pltpu
 
-    pltpu.prng_seed(
-        seed_ref[0],
-        jax.lax.convert_element_type(
-            pl_program_id(0) * 65536 + pl_program_id(1), jnp.int32
-        ),
-    )
+    b, h, qi = _pl_ids()
+    pltpu.prng_seed(seed_ref[0], (b * 4096 + h) * 4096 + qi)
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     thresh = jnp.uint32(min(max(rate, 0.0), 1.0) * 4294967295.0)
     return bits >= thresh
 
 
-def pl_program_id(i):
-    from jax.experimental import pallas as pl
-
-    return pl.program_id(i)
-
-
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, rate):
-    qi = pl_program_id(1)
-    q = q_ref[0]
-    k = k_ref[0]
+    _, _, qi = _pl_ids()
+    q = q_ref[0]  # (QB, hd)
+    k = k_ref[0]  # (T, hd)
     v = v_ref[0]
     qb, t = q.shape[0], k.shape[0]
     s = jax.lax.dot_general(
@@ -93,12 +90,22 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, rate):
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, dy_ref,
                 dq_ref, dk_ref, dv_ref, *, scale, rate):
-    qi = pl_program_id(1)
+    _, _, qi = _pl_ids()
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     dy = dy_ref[0]
     qb, t = q.shape[0], k.shape[0]
+
+    # rows beyond the (non-QB-multiple) sequence read undefined q/dy data;
+    # their write-back is masked, but dk/dv ACCUMULATE over rows — zero the
+    # invalid rows of every row-indexed operand so garbage (incl. NaN, which
+    # survives 0*NaN in the matmuls) cannot leak into the reductions
+    rows_valid = (
+        qi * qb + jax.lax.broadcasted_iota(jnp.int32, (qb, 1), 0)
+    ) < t
+    q = jnp.where(rows_valid, q.astype(jnp.float32), 0.0).astype(q.dtype)
+    dy = jnp.where(rows_valid, dy.astype(jnp.float32), 0.0).astype(dy.dtype)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -106,6 +113,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, dy_ref,
     s = jnp.where(_causal_mask(qi, qb, t), s, -jnp.inf)
     m = jnp.max(s, axis=-1)
     p = jnp.exp(s - m[:, None])
+    p = jnp.where(rows_valid, p, 0.0)
     l = jnp.maximum(jnp.sum(p, axis=-1), 1e-30)
     probs = p / l[:, None]
 
@@ -161,109 +169,81 @@ def _pl_when(cond, fn):
     return pl.when(cond)(fn)
 
 
-def _pad_t(x, tp):
-    t = x.shape[2]
-    if t == tp:
-        return x
-    return jnp.pad(x, ((0, 0), (0, 0), (0, tp - t), (0, 0)))
-
-
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
 )
-def fused_causal_attention(q, k, v, seed, rate=0.0, scale=None,
+def fused_causal_attention(q, k, v, seed, n_head, rate=0.0, scale=None,
                            interpret=False):
-    """q/k/v: (B, H, T, hd); seed: int32 scalar array (ignored at rate=0).
-    Returns y: (B, H, T, hd) in q.dtype. Differentiable in q/k/v."""
-    y, _ = _fused_fwd(q, k, v, seed, rate, scale, interpret)
+    """q/k/v: (B, T, D) projection outputs, D = n_head * hd — NO head
+    transpose required (the kernel grid slices heads). seed: int32 scalar
+    (ignored at rate=0). Returns y: (B, T, D) in q.dtype; differentiable in
+    q/k/v."""
+    y, _ = _fused_fwd(q, k, v, seed, n_head, rate, scale, interpret)
     return y
 
 
-def _call(kernel, grid, in_specs, out_specs, out_shape, args, interpret):
-    from jax.experimental import pallas as pl
-
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(*args)
-
-
-def _specs(bh, tp, hd, dtype):
+def _specs(n_head, hd, t):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    qspec = pl.BlockSpec((1, _QB, hd), lambda b, i: (b, i, 0))
-    kspec = pl.BlockSpec((1, tp, hd), lambda b, i: (b, 0, 0))
+    # q/dy/y/dq: one (QB, hd) tile — row block qi, head-column block h
+    qspec = pl.BlockSpec((1, _QB, hd), lambda b, h, qi: (b, qi, h))
+    # k/v/dk/dv: the head's FULL sequence (block T == array T: exempt from
+    # the sublane divisibility rule); constant over qi -> stays VMEM-resident
+    kspec = pl.BlockSpec((1, t, hd), lambda b, h, qi: (b, 0, h))
     return smem, qspec, kspec
 
 
-def _fused_fwd(q, k, v, seed, rate, scale, interpret):
-    b, h, t, hd = q.shape
+def _fused_fwd(q, k, v, seed, n_head, rate, scale, interpret):
+    from jax.experimental import pallas as pl
+
+    b, t, d = q.shape
+    hd = d // n_head
     if scale is None:
         scale = 1.0 / float(hd) ** 0.5
-    tp = ((t + _QB - 1) // _QB) * _QB
-    bh = b * h
-    qp = _pad_t(q, tp).reshape(bh, tp, hd)
-    kp = _pad_t(k, tp).reshape(bh, tp, hd)
-    vp = _pad_t(v, tp).reshape(bh, tp, hd)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
-
-    smem, qspec, kspec = _specs(bh, tp, hd, q.dtype)
-    y = _call(
+    smem, qspec, kspec = _specs(n_head, hd, t)
+    y = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, rate=rate),
-        grid=(bh, tp // _QB),
+        grid=(b, n_head, pl.cdiv(t, _QB)),
         in_specs=[smem, qspec, kspec, kspec],
         out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct((bh, tp, hd), q.dtype),
-        args=(seed_arr, qp, kp, vp),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
         interpret=interpret,
-    )
-    y = y.reshape(b, h, tp, hd)[:, :, :t, :]
+    )(seed_arr, q, k, v)
     return y, (q, k, v, seed)
 
 
-def _fused_bwd(rate, scale, interpret, res, dy):
+def _fused_bwd(n_head, rate, scale, interpret, res, dy):
+    from jax.experimental import pallas as pl
+
     q, k, v, seed = res
-    b, h, t, hd = q.shape
+    b, t, d = q.shape
+    hd = d // n_head
     if scale is None:
         scale = 1.0 / float(hd) ** 0.5
-    tp = ((t + _QB - 1) // _QB) * _QB
-    bh = b * h
-    qp = _pad_t(q, tp).reshape(bh, tp, hd)
-    kp = _pad_t(k, tp).reshape(bh, tp, hd)
-    vp = _pad_t(v, tp).reshape(bh, tp, hd)
-    dyp = _pad_t(dy, tp).reshape(bh, tp, hd)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
-
-    smem, qspec, kspec = _specs(bh, tp, hd, q.dtype)
+    smem, qspec, kspec = _specs(n_head, hd, t)
     f32 = jnp.float32
-    dq, dk, dv = _call(
+    dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, rate=rate),
-        grid=(bh, tp // _QB),
+        grid=(b, n_head, pl.cdiv(t, _QB)),
         in_specs=[smem, qspec, kspec, kspec, qspec],
         out_specs=[qspec, kspec, kspec],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, tp, hd), q.dtype),
-            jax.ShapeDtypeStruct((bh, tp, hd), f32),
-            jax.ShapeDtypeStruct((bh, tp, hd), f32),
+            jax.ShapeDtypeStruct((b, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b, t, d), f32),
+            jax.ShapeDtypeStruct((b, t, d), f32),
         ],
-        args=(seed_arr, qp, kp, vp, dyp),
         interpret=interpret,
-    )
-    dq = dq.reshape(b, h, tp, hd)[:, :, :t, :]
-    dk = dk.reshape(b, h, tp, hd)[:, :, :t, :].astype(k.dtype)
-    dv = dv.reshape(b, h, tp, hd)[:, :, :t, :].astype(v.dtype)
-    return dq, dk, dv, None
+    )(seed_arr, q, k, v, dy)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), None
 
 
 fused_causal_attention.defvjp(
-    lambda q, k, v, seed, rate, scale, interpret: _fused_fwd(
-        q, k, v, seed, rate, scale, interpret
+    lambda q, k, v, seed, n_head, rate, scale, interpret: _fused_fwd(
+        q, k, v, seed, n_head, rate, scale, interpret
     ),
     _fused_bwd,
 )

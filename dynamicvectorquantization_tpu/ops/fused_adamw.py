@@ -29,8 +29,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-# target elements per grid block (f32: 7 VMEM-resident planes x 2 MB)
-_BLOCK_ELEMS = 1 << 19
+# target elements per grid block: 7 planes (4 in + 3 aliased out) x 0.5 MB
+# x2 for pipeline double-buffering must stay under the ~16 MB VMEM scope
+_BLOCK_ELEMS = 1 << 17
 
 
 @functools.partial(jax.jit, static_argnames=("b1", "b2", "eps", "wd", "interpret"))
@@ -48,6 +49,10 @@ def _fused_adamw_leaf(g, p, m, v, lr, c1, c2, *, b1, b2, eps, wd, interpret):
     else:
         rows, cols = 1, n
     rb = max(1, min(rows, _BLOCK_ELEMS // max(cols, 1)))
+    if rb < rows:
+        # TPU lowering: a partial block's sublane dim must be divisible by 8
+        # (full-array blocks are exempt)
+        rb = max(8, rb - rb % 8)
     grid = (pl.cdiv(rows, rb),)
 
     def kernel(lr_ref, c1_ref, c2_ref, g_ref, p_ref, m_ref, v_ref,

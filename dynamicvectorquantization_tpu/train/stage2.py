@@ -138,17 +138,25 @@ class Stage2Trainer:
         def loss_fn(params, xi, ci, ri):
             if self.compute_dtype is not None:
                 params = _cast_tree(params, self.compute_dtype)
-                xi = xi.astype(self.compute_dtype)
+                if not isinstance(xi, dict):
+                    xi = xi.astype(self.compute_dtype)
             v = {
                 "transformer": {**variables["transformer"], "params": params},
                 "first_stage": fs_vars,
             }
-            out = self.model.forward(v, xi, ci, train=True, rngs={"dropout": ri})
+            if isinstance(xi, dict):  # cached permuter streams (ints)
+                out = self.model.forward_tokens(v, xi, ci, train=True,
+                                                rngs={"dropout": ri})
+            else:
+                out = self.model.forward(v, xi, ci, train=True,
+                                         rngs={"dropout": ri})
             total = self.model.loss(out)
             return total, out
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+        if isinstance(x, dict):
+            assert self.accum == 1, "cached-codes mode supports accum=1"
         if self.accum == 1:
             (total, out), grads = grad_fn(state.params, x, c, rng)
             log_src = {"total": total, **out}
@@ -208,7 +216,7 @@ class Stage2Trainer:
         unlike accum microbatching); returns per-step stacked logs. Amortizes
         the per-dispatch host overhead — one dispatch per K steps.
         """
-        k = xs.shape[0]
+        k = jax.tree_util.tree_leaves(xs)[0].shape[0]
         rs = jax.random.split(rng, k)
 
         def body(s, inp):
@@ -223,12 +231,44 @@ class Stage2Trainer:
         ins = (xs, rs) if cs is None else (xs, cs, rs)
         return jax.lax.scan(body, state, ins)
 
+    def encode_dataset(self, variables, images, batch: int = 64):
+        """Images -> stacked permuter streams, once (cached-codes pipeline).
+
+        The first stage is frozen, so codes are immutable; caching removes
+        the frozen conv encode (~25 ms of the profiled 147 ms p6c18 step)
+        from every train step. Returns a dict of (N, L) numpy int arrays
+        usable as the `x` of `train_step`/`train_steps` (they dispatch on
+        dict inputs to `Dualformer.forward_tokens`).
+        """
+        import numpy as np
+
+        fs_vars = variables["first_stage"]
+        if self.compute_dtype is not None:
+            fs_vars = _cast_tree(fs_vars, self.compute_dtype)
+        v = {"transformer": variables["transformer"], "first_stage": fs_vars}
+
+        @jax.jit
+        def enc(x):
+            if self.compute_dtype is not None:
+                x = x.astype(self.compute_dtype)
+            _, z = self.model.encode_to_z(v, x)
+            return z
+
+        outs = []
+        for i in range(0, len(images), batch):
+            outs.append(jax.device_get(enc(jnp.asarray(images[i:i + batch]))))
+        return {k: np.concatenate([o[k] for o in outs], axis=0)
+                for k in outs[0]}
+
     def eval_step(self, state: Stage2State, variables, x, c):
         v = {
             "transformer": {**variables["transformer"], "params": state.params},
             "first_stage": variables["first_stage"],
         }
-        out = self.model.forward(v, x, c)
+        if isinstance(x, dict):
+            out = self.model.forward_tokens(v, x, c)
+        else:
+            out = self.model.forward(v, x, c)
         return {
             "val_loss": self.model.loss(out),
             "val_content_loss": out["content_loss"],

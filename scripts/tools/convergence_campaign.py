@@ -321,6 +321,9 @@ def run_stage2(args):
         "target": "modules.dynamic_modules.RouterDual.DualGrainFixedEntropyRouter",
         "params": {"threshold": s1["threshold"]},
     }
+    if args.flash:
+        # fused Pallas attention incl. in-kernel attn dropout (TPU only)
+        params["transformer_config"]["params"]["use_flash_attention"] = True
     model = instantiate_from_config(cfg["model"])
     trainer = Stage2Trainer(model, learning_rate=args.lr or 5e-4,
                             warmup_steps=args.warmup, max_steps=args.steps,
@@ -330,25 +333,58 @@ def run_stage2(args):
     variables = model.init(jax.random.PRNGKey(args.seed + 1), fs_vars)
     state = trainer.init_state(variables)
 
-    def steps_u8(state, variables, xs_u8, rng):
-        xs = xs_u8.astype(jnp.float32) / 127.5 - 1.0
-        return trainer.train_steps(state, variables, xs, None, rng)
-
-    step = jax.jit(steps_u8, donate_argnums=(0,))
-
-    def eval_u8(state, variables, x_u8):
-        x = x_u8.astype(jnp.float32) / 127.5 - 1.0
-        return trainer.eval_step(state, variables, x, x)
-
-    eval_step = jax.jit(eval_u8)
     variables = jax.device_put(variables)
+
+    z_pool = z_val = None
+    if args.cached_codes:
+        # frozen first stage -> immutable codes: encode each pool ONCE and
+        # train from token streams (removes the per-step conv encode)
+        class _FloatPool:
+            def __init__(self, p):
+                self.p = p
+
+            def __len__(self):
+                return len(self.p)
+
+            def __getitem__(self, sl):
+                return self.p[sl].astype(np.float32) / 127.5 - 1.0
+
+        t1 = time.time()
+        z_pool = trainer.encode_dataset(variables, _FloatPool(pool))
+        z_val = trainer.encode_dataset(variables, _FloatPool(val))
+        print(f"encoded pools to codes in {time.time()-t1:.0f}s", flush=True)
+
+    if args.cached_codes:
+        def steps_tok(state, variables, zs, rng):
+            return trainer.train_steps(state, variables, zs, None, rng)
+
+        step = jax.jit(steps_tok, donate_argnums=(0,))
+        eval_step = jax.jit(
+            lambda st, v, z: trainer.eval_step(st, v, z, z)
+        )
+    else:
+        def steps_u8(state, variables, xs_u8, rng):
+            xs = xs_u8.astype(jnp.float32) / 127.5 - 1.0
+            return trainer.train_steps(state, variables, xs, None, rng)
+
+        step = jax.jit(steps_u8, donate_argnums=(0,))
+
+        def eval_u8(state, variables, x_u8):
+            x = x_u8.astype(jnp.float32) / 127.5 - 1.0
+            return trainer.eval_step(state, variables, x, x)
+
+        eval_step = jax.jit(eval_u8)
     val_dev = jax.device_put(val)
 
     def run_eval(done):
         evs = []
         for i in range(0, len(val), 32):
+            if args.cached_codes:
+                vb = {k: v[i:i + 32] for k, v in z_val.items()}
+            else:
+                vb = val_dev[i:i + 32]
             evs.append({k: float(v)
-                        for k, v in eval_step(state, variables, val_dev[i:i + 32]).items()})
+                        for k, v in eval_step(state, variables, vb).items()})
         ev = {k: float(np.mean([e[k] for e in evs])) for k in evs[0]}
         ev["step"] = done
         _append_jsonl(metrics_path, {"split": "val", **ev})
@@ -385,11 +421,16 @@ def run_stage2(args):
     print(f"stage2: {args.steps} steps batch={args.batch} K={K}", flush=True)
     while done < args.steps:
         idx = rng.integers(0, len(pool), (K, args.batch))
-        flip = rng.random((K, args.batch)) < 0.5
-        xs = np.stack([
-            decode_pool_batch_u8(pool, idx[k], flip[k]) for k in range(K)
-        ])
-        state, logs = step(state, variables, jnp.asarray(xs),
+        if args.cached_codes:
+            xs = {k: jnp.asarray(v[idx.ravel()].reshape((K, args.batch)
+                                                        + v.shape[1:]))
+                  for k, v in z_pool.items()}
+        else:
+            flip = rng.random((K, args.batch)) < 0.5
+            xs = jnp.asarray(np.stack([
+                decode_pool_batch_u8(pool, idx[k], flip[k]) for k in range(K)
+            ]))
+        state, logs = step(state, variables, xs,
                            jax.random.PRNGKey(args.seed * 1000 + dispatch))
         done += K
         dispatch += 1
@@ -538,6 +579,10 @@ def main():
         q.add_argument("--eval-every", type=int, default=500)
         q.add_argument("--grid-every", type=int, default=2000)
         q.add_argument("--sample-every", type=int, default=4000)
+        q.add_argument("--flash", action="store_true",
+                       help="stage-2: fused Pallas attention (TPU)")
+        q.add_argument("--cached-codes", action="store_true",
+                       help="stage-2: encode pools once, train from tokens")
         q.add_argument("--top-k", type=int, default=300)
         q.add_argument("--top-k-pos", type=int, default=256)
         q.add_argument("--config",

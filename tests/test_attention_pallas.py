@@ -1,6 +1,10 @@
 """Fused causal attention kernel (ops/attention_pallas.py) vs the naive
 XLA path: forward + gradients, padding behavior, and dropout semantics.
-Interpret mode on CPU; the compiled kernel runs on TPU in the stage-2 step."""
+Interpret mode on CPU; the compiled kernel runs on TPU in the stage-2 step.
+
+Layout note: the kernel consumes (B, T, D) projection outputs directly
+(its grid slices heads) — the reference comparison splits heads the
+standard way."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,8 +14,16 @@ from dynamicvectorquantization_tpu.ops.attention_pallas import (
     fused_causal_attention,
 )
 
+H = 2
 
-def _naive(q, k, v, scale=None):
+
+def _split(z, h):
+    b, t, d = z.shape
+    return z.reshape(b, t, h, d // h).transpose(0, 2, 1, 3)
+
+
+def _naive(q, k, v, h=H, scale=None):
+    q, k, v = _split(q, h), _split(k, h), _split(v, h)
     hd = q.shape[-1]
     scale = scale or 1.0 / float(hd) ** 0.5
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
@@ -19,28 +31,30 @@ def _naive(q, k, v, scale=None):
     causal = jnp.tril(jnp.ones((t, t), bool))
     s = jnp.where(causal[None, None], s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    y = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    b = y.shape[0]
+    return y.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
 
 
-@pytest.mark.parametrize("t", [256, 384])  # 384: T % QB != 0 -> padded path
+@pytest.mark.parametrize("t", [256, 384, 300])  # 384/300: T % QB != 0 paths
 def test_fused_attention_matches_naive(t):
-    b, h, hd = 2, 2, 64
+    b, d = 2, 128
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
-    q, k, v = (jax.random.normal(kk, (b, h, t, hd), jnp.float32) for kk in ks)
+    q, k, v = (jax.random.normal(kk, (b, t, d), jnp.float32) for kk in ks)
 
-    y = fused_causal_attention(q, k, v, 0, 0.0, None, True)
+    y = fused_causal_attention(q, k, v, 0, H, 0.0, None, True)
     y_ref = _naive(q, k, v)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-5,
                                atol=2e-5)
 
 
 def test_fused_attention_grads_match_naive():
-    b, h, t, hd = 1, 2, 384, 64
+    b, t, d = 1, 300, 128  # partial final query block exercises row masking
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
-    q, k, v = (jax.random.normal(kk, (b, h, t, hd), jnp.float32) for kk in ks)
+    q, k, v = (jax.random.normal(kk, (b, t, d), jnp.float32) for kk in ks)
 
     def loss_fused(q, k, v):
-        y = fused_causal_attention(q, k, v, 0, 0.0, None, True)
+        y = fused_causal_attention(q, k, v, 0, H, 0.0, None, True)
         return jnp.sum(jnp.sin(y))
 
     def loss_ref(q, k, v):
@@ -54,31 +68,30 @@ def test_fused_attention_grads_match_naive():
 
 
 def test_fused_attention_dropout_semantics():
-    """rate>0 (interpret PRNG): output rows are an unbiased-ish estimate of
-    the deterministic attention (mean over seeds close), zeros appear, and
-    the same seed reproduces the same output (fwd/bwd mask regeneration
-    depends on that determinism)."""
-    b, h, t, hd = 1, 1, 256, 64
+    """rate>0 (interpret PRNG): same seed reproduces the same output (the
+    fwd/bwd mask regeneration depends on that), different seeds differ, mean
+    over seeds approaches the deterministic attention, grads flow."""
+    b, t, d = 1, 256, 128
     ks = jax.random.split(jax.random.PRNGKey(2), 3)
-    q, k, v = (jax.random.normal(kk, (b, h, t, hd), jnp.float32) for kk in ks)
+    q, k, v = (jax.random.normal(kk, (b, t, d), jnp.float32) for kk in ks)
     try:
-        y1 = fused_causal_attention(q, k, v, 123, 0.5, None, True)
+        y1 = fused_causal_attention(q, k, v, 123, H, 0.5, None, True)
     except Exception as e:  # pragma: no cover - interpret-mode PRNG support
         pytest.skip(f"pallas interpret-mode PRNG unavailable: {e}")
-    y2 = fused_causal_attention(q, k, v, 123, 0.5, None, True)
+    y2 = fused_causal_attention(q, k, v, 123, H, 0.5, None, True)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
-    y3 = fused_causal_attention(q, k, v, 124, 0.5, None, True)
+    y3 = fused_causal_attention(q, k, v, 124, H, 0.5, None, True)
     assert not np.allclose(np.asarray(y1), np.asarray(y3))
 
-    # unbiasedness: mean over seeds approaches deterministic attention
-    ys = [np.asarray(fused_causal_attention(q, k, v, s, 0.5, None, True))
+    ys = [np.asarray(fused_causal_attention(q, k, v, s, H, 0.5, None, True))
           for s in range(40)]
     det = np.asarray(_naive(q, k, v))
     err = np.abs(np.mean(ys, axis=0) - det).mean() / np.abs(det).mean()
     assert err < 0.15, err
 
-    # grads flow at rate>0 and the seed cotangent is None (no crash)
     g = jax.grad(
-        lambda q: jnp.sum(fused_causal_attention(q, k, v, 7, 0.1, None, True))
+        lambda q: jnp.sum(
+            fused_causal_attention(q, k, v, 7, H, 0.1, None, True)
+        )
     )(q)
     assert np.isfinite(np.asarray(g)).all()
