@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from .init import normal_init
+from .norm import FusedLayerNorm
 from .transformer import KVCache, TransformerStack
 
 
@@ -113,12 +114,12 @@ class StackGPT(nn.Module):
         self.position_transformer = stack(self.position_layer, "position_transformer")
         self.content_transformer = stack(self.content_layer, "content_transformer")
 
-        self.position_head_ln = nn.LayerNorm(epsilon=1e-5, name="position_head_ln")
+        self.position_head_ln = FusedLayerNorm(epsilon=1e-5, name="position_head_ln")
         self.position_head = nn.Dense(
             self.fine_position_size, use_bias=False, kernel_init=normal_init(0.02),
             name="position_head",
         )
-        self.content_head_ln = nn.LayerNorm(epsilon=1e-5, name="content_head_ln")
+        self.content_head_ln = FusedLayerNorm(epsilon=1e-5, name="content_head_ln")
         self.content_head = nn.Dense(
             self.vocab_size, use_bias=False, kernel_init=normal_init(0.02),
             name="content_head",

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .init import normal_init
+from .norm import FusedLayerNorm
 
 
 class KVCache(NamedTuple):
@@ -264,14 +265,14 @@ class Block(nn.Module):
             self.sequence_parallel_axis,
             name="attn",
         )(
-            nn.LayerNorm(epsilon=1e-5, name="ln1")(x),
+            FusedLayerNorm(epsilon=1e-5, name="ln1")(x),
             deterministic=deterministic,
             cache=cache,
             cache_index=cache_index,
             attn_bias=attn_bias,
         )
         x = x + attn_out
-        h = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
+        h = FusedLayerNorm(epsilon=1e-5, name="ln2")(x)
         h = nn.Dense(4 * self.n_embd, kernel_init=normal_init(0.02), name="mlp_fc")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(self.n_embd, kernel_init=normal_init(0.02), name="mlp_proj")(h)

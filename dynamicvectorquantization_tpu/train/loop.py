@@ -197,12 +197,17 @@ class Trainer:
                     self.mesh, leaf, self.shard_min_elements),
                 state.params, p_sh,
             )
-        fallback = None
+        o_sh = tree_shardings_like(self.mesh, state.opt, state.params, p_sh)
         if self.opt_sharding or self.fsdp:
-            fallback = lambda l: zero1_leaf_spec(
-                self.mesh, l, self.shard_min_elements)
-        o_sh = tree_shardings_like(self.mesh, state.opt, state.params, p_sh,
-                                   fallback=fallback)
+            # ZeRO-1 composition: any moment the tp rules left REPLICATED
+            # (embeddings, layernorms, heads — matched or not) shards over dp
+            from jax.sharding import PartitionSpec as _P
+
+            o_sh = jax.tree_util.tree_map(
+                lambda leaf, sh: sh if sh.spec != _P() else zero1_leaf_spec(
+                    self.mesh, leaf, self.shard_min_elements),
+                state.opt, o_sh,
+            )
         tree = jax.tree_util.tree_map(lambda _: repl, state)
         return tree._replace(params=p_sh, opt=o_sh)
 

@@ -82,6 +82,7 @@ def test_pallas_kernel_matches_ref_interpret(np_rng):
         )
 
 
+@pytest.mark.slow  # compile-dominated on the 1-CPU host (suite-trim r03)
 def test_stackgpt_int8_decode_tracks_f32(rng):
     from tests.test_stackgpt import _streams, tiny_gpt
 

@@ -401,6 +401,7 @@ def test_lpips_lin_heads_match_reference_vgg_pth():
         assert np.asarray(bundled[f"lin{i}"]["kernel"]).shape[3] == 1
 
 
+@pytest.mark.slow  # compile-dominated on the 1-CPU host (suite-trim r03)
 def test_stage1_init_uses_bundled_lin_heads(ref):
     """Stage1Trainer.init_state must land the real lin heads in the loss
     params by default (no env vars)."""

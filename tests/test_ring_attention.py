@@ -88,6 +88,7 @@ def _sgpt_streams(b=2, lc=5, lf=8):
     )
 
 
+@pytest.mark.slow  # compile-dominated on the 1-CPU host (suite-trim r03)
 def test_stackgpt_sp_matches_dense():
     from jax.sharding import Mesh
 

@@ -90,6 +90,7 @@ def test_eval_step(trainer_and_state):
         assert np.isfinite(float(v)), k
 
 
+@pytest.mark.slow  # compile-dominated on the 1-CPU host (suite-trim r03)
 def test_train_steps_scan_matches_sequential(trainer_and_state):
     trainer, state, x = trainer_and_state
     xs = jnp.stack([x, x * 0.9])

@@ -49,6 +49,7 @@ def test_train_step_and_pad_freeze(dualformer):  # noqa: F811
     assert np.isfinite(float(val["val_loss"]))
 
 
+@pytest.mark.slow  # compile-dominated on the 1-CPU host (suite-trim r03)
 def test_train_steps_scan_matches_sequential(dualformer):  # noqa: F811
     import jax.numpy as jnp
 
@@ -78,6 +79,7 @@ def test_train_steps_scan_matches_sequential(dualformer):  # noqa: F811
     assert int(s_scan.step) == 2
 
 
+@pytest.mark.slow  # compile-dominated on the 1-CPU host (suite-trim r03)
 def test_mixed_precision_bf16_step(dualformer):  # noqa: F811
     import jax.numpy as jnp
 

@@ -111,7 +111,18 @@ def main():
     data = instantiate_from_config(config["data"])
 
     n_devices = None if opt.devices in (-1, 0) else opt.devices
-    mesh = make_mesh(n_devices)
+    if opt.tp > 1:
+        # (dp, tp) mesh: stage-2 tensor parallelism from one flag
+        import jax
+
+        from dynamicvectorquantization_tpu.parallel.mesh import make_mesh_2d
+
+        total = n_devices or len(jax.devices())
+        if total % opt.tp:
+            raise SystemExit(f"--tp {opt.tp} does not divide {total} devices")
+        mesh = make_mesh_2d(total // opt.tp, opt.tp)
+    else:
+        mesh = make_mesh(n_devices)
     ndev = mesh.devices.size
 
     # LR rule (reference train.py:248-257)
