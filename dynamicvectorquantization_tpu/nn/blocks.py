@@ -145,10 +145,26 @@ class AttnBlock(nn.Module):
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h_).reshape(b, h * w, c)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h_).reshape(b, h * w, c)
 
-        attn = jnp.einsum("bic,bjc->bij", q, k) * (c ** -0.5)
-        # softmax stays f32 even on the bf16 path: measured neutral-to-slower
-        # in bf16 (968 vs 978 img/s headline) — XLA already fuses the casts
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-        h_ = jnp.einsum("bij,bjc->bic", attn, v).reshape(b, h, w, c)
+        if (
+            jax.default_backend() == "tpu"
+            and h * w <= 2048
+            and c % 128 == 0
+        ):
+            # single-head full attention over HW tokens: the (T, T) score
+            # map at 32^2 is B x 1024^2 f32 (~4 MB/img) that the naive path
+            # round-trips through HBM three times; the Pallas kernel keeps
+            # it in VMEM (causal=False -> no mask)
+            from ..ops.attention_pallas import fused_causal_attention
+
+            h_ = fused_causal_attention(
+                q, k, v, 0, 1, 0.0, c ** -0.5, False, False
+            ).reshape(b, h, w, c)
+        else:
+            attn = jnp.einsum("bic,bjc->bij", q, k) * (c ** -0.5)
+            # softmax stays f32 even on the bf16 path: measured
+            # neutral-to-slower in bf16 (968 vs 978 img/s headline) — XLA
+            # already fuses the casts
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+            h_ = jnp.einsum("bij,bjc->bic", attn, v).reshape(b, h, w, c)
         h_ = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h_)
         return (x.astype(h_.dtype) + h_)

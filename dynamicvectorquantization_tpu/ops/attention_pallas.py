@@ -32,11 +32,27 @@ callers fall back to the naive path beyond that.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
-_QB = 256  # query rows per grid step
+# Query rows per grid step. Grid-step count is the lever that matters at this
+# geometry: each TPU grid step carries ~1 us of fixed sequencer cost (QUIRKS
+# #26), and (B=8, H=16, T/QB) steps x 48 calls/train-step adds up to tens of
+# ms — fatter blocks amortize it (VMEM bounds the top end). Measured at the
+# p6c18 geometry (B8 T805 D1024 H8): full-T 2.71 ms/call vs 3.22 at QB=256
+# (and QB=512 compiled 6x slower for 2.87) — so default to ONE grid step per
+# (batch, head) whenever the f32 score tile fits VMEM comfortably (T<=1024,
+# ~4 MB scores), else 256-row blocks.
+_QB_ENV = os.environ.get("DQVQ_ATTN_QB")
+_FULL_T_MAX = 1024
+
+
+def _pick_qb(t):
+    if _QB_ENV:
+        return min(int(_QB_ENV), t)
+    return t if t <= _FULL_T_MAX else 256
 
 
 def _causal_mask(qi, qb, t):
@@ -63,7 +79,7 @@ def _dropout_bits(seed_ref, shape, rate):
     return bits >= thresh
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, rate):
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, rate, causal):
     _, _, qi = _pl_ids()
     q = q_ref[0]  # (QB, hd)
     k = k_ref[0]  # (T, hd)
@@ -72,7 +88,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, rate):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    s = jnp.where(_causal_mask(qi, qb, t), s, -jnp.inf)
+    if causal:
+        s = jnp.where(_causal_mask(qi, qb, t), s, -jnp.inf)
     m = jnp.max(s, axis=-1)
     p = jnp.exp(s - m[:, None])
     l = jnp.sum(p, axis=-1)
@@ -89,7 +106,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, rate):
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, dy_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, rate):
+                dq_ref, dk_ref, dv_ref, *, scale, rate, causal):
     _, _, qi = _pl_ids()
     q = q_ref[0]
     k = k_ref[0]
@@ -110,7 +127,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, dy_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    s = jnp.where(_causal_mask(qi, qb, t), s, -jnp.inf)
+    if causal:
+        s = jnp.where(_causal_mask(qi, qb, t), s, -jnp.inf)
     m = jnp.max(s, axis=-1)
     p = jnp.exp(s - m[:, None])
     p = jnp.where(rows_valid, p, 0.0)
@@ -170,32 +188,35 @@ def _pl_when(cond, fn):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
 )
 def fused_causal_attention(q, k, v, seed, n_head, rate=0.0, scale=None,
-                           interpret=False):
+                           interpret=False, causal=True):
     """q/k/v: (B, T, D) projection outputs, D = n_head * hd — NO head
     transpose required (the kernel grid slices heads). seed: int32 scalar
     (ignored at rate=0). Returns y: (B, T, D) in q.dtype; differentiable in
-    q/k/v."""
-    y, _ = _fused_fwd(q, k, v, seed, n_head, rate, scale, interpret)
+    q/k/v. causal=False gives full bidirectional attention (the VQGAN-style
+    conv AttnBlock, reference `modules/diffusionmodules/model.py:140` — a
+    single head over H*W tokens whose (T, T) score map otherwise round-trips
+    HBM)."""
+    y, _ = _fused_fwd(q, k, v, seed, n_head, rate, scale, interpret, causal)
     return y
 
 
-def _specs(n_head, hd, t):
+def _specs(n_head, hd, t, qb):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     # q/dy/y/dq: one (QB, hd) tile — row block qi, head-column block h
-    qspec = pl.BlockSpec((1, _QB, hd), lambda b, h, qi: (b, qi, h))
+    qspec = pl.BlockSpec((1, qb, hd), lambda b, h, qi: (b, qi, h))
     # k/v/dk/dv: the head's FULL sequence (block T == array T: exempt from
     # the sublane divisibility rule); constant over qi -> stays VMEM-resident
     kspec = pl.BlockSpec((1, t, hd), lambda b, h, qi: (b, 0, h))
     return smem, qspec, kspec
 
 
-def _fused_fwd(q, k, v, seed, n_head, rate, scale, interpret):
+def _fused_fwd(q, k, v, seed, n_head, rate, scale, interpret, causal=True):
     from jax.experimental import pallas as pl
 
     b, t, d = q.shape
@@ -203,10 +224,11 @@ def _fused_fwd(q, k, v, seed, n_head, rate, scale, interpret):
     if scale is None:
         scale = 1.0 / float(hd) ** 0.5
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
-    smem, qspec, kspec = _specs(n_head, hd, t)
+    qb = _pick_qb(t)
+    smem, qspec, kspec = _specs(n_head, hd, t, qb)
     y = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, rate=rate),
-        grid=(b, n_head, pl.cdiv(t, _QB)),
+        functools.partial(_fwd_kernel, scale=scale, rate=rate, causal=causal),
+        grid=(b, n_head, pl.cdiv(t, qb)),
         in_specs=[smem, qspec, kspec, kspec],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
@@ -215,7 +237,7 @@ def _fused_fwd(q, k, v, seed, n_head, rate, scale, interpret):
     return y, (q, k, v, seed)
 
 
-def _fused_bwd(n_head, rate, scale, interpret, res, dy):
+def _fused_bwd(n_head, rate, scale, interpret, causal, res, dy):
     from jax.experimental import pallas as pl
 
     q, k, v, seed = res
@@ -224,11 +246,12 @@ def _fused_bwd(n_head, rate, scale, interpret, res, dy):
     if scale is None:
         scale = 1.0 / float(hd) ** 0.5
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
-    smem, qspec, kspec = _specs(n_head, hd, t)
+    qb = _pick_qb(t)
+    smem, qspec, kspec = _specs(n_head, hd, t, qb)
     f32 = jnp.float32
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, rate=rate),
-        grid=(b, n_head, pl.cdiv(t, _QB)),
+        functools.partial(_bwd_kernel, scale=scale, rate=rate, causal=causal),
+        grid=(b, n_head, pl.cdiv(t, qb)),
         in_specs=[smem, qspec, kspec, kspec, qspec],
         out_specs=[qspec, kspec, kspec],
         out_shape=[
@@ -242,8 +265,8 @@ def _fused_bwd(n_head, rate, scale, interpret, res, dy):
 
 
 fused_causal_attention.defvjp(
-    lambda q, k, v, seed, n_head, rate, scale, interpret: _fused_fwd(
-        q, k, v, seed, n_head, rate, scale, interpret
+    lambda q, k, v, seed, n_head, rate, scale, interpret, causal: _fused_fwd(
+        q, k, v, seed, n_head, rate, scale, interpret, causal
     ),
     _fused_bwd,
 )

@@ -34,9 +34,14 @@ import optax
 _BLOCK_ELEMS = 1 << 17
 
 
-@functools.partial(jax.jit, static_argnames=("b1", "b2", "eps", "wd", "interpret"))
-def _fused_adamw_leaf(g, p, m, v, lr, c1, c2, *, b1, b2, eps, wd, interpret):
-    """One parameter leaf: returns (p', m', v'), p/m/v aliased in-place.
+@functools.partial(jax.jit, static_argnames=("b1", "b2", "eps", "wd",
+                                              "interpret", "copy_dtype"))
+def _fused_adamw_leaf(g, p, m, v, lr, c1, c2, *, b1, b2, eps, wd, interpret,
+                      copy_dtype=None):
+    """One parameter leaf: returns (p', m', v'), p/m/v aliased in-place —
+    plus a `copy_dtype` (e.g. bf16) cast of p' written in the SAME pass when
+    requested (the mixed-precision working copy; a separate cast pass costs
+    a full extra HBM round trip over the params).
 
     lr/c1/c2: (1, 1) f32 scalars (lr, 1/(1-b1^t), 1/(1-b2^t))."""
     from jax.experimental import pallas as pl
@@ -56,7 +61,7 @@ def _fused_adamw_leaf(g, p, m, v, lr, c1, c2, *, b1, b2, eps, wd, interpret):
     grid = (pl.cdiv(rows, rb),)
 
     def kernel(lr_ref, c1_ref, c2_ref, g_ref, p_ref, m_ref, v_ref,
-               po_ref, mo_ref, vo_ref):
+               po_ref, mo_ref, vo_ref, *copy_refs):
         g_ = g_ref[...].astype(jnp.float32)
         m_ = b1 * m_ref[...] + (1.0 - b1) * g_
         v_ = b2 * v_ref[...] + (1.0 - b2) * (g_ * g_)
@@ -64,19 +69,28 @@ def _fused_adamw_leaf(g, p, m, v, lr, c1, c2, *, b1, b2, eps, wd, interpret):
         p_ = p_ref[...]
         if wd:
             u = u + wd * p_
-        po_ref[...] = p_ - lr_ref[0, 0] * u
+        pn = p_ - lr_ref[0, 0] * u
+        po_ref[...] = pn
         mo_ref[...] = m_
         vo_ref[...] = v_
+        if copy_refs:
+            copy_refs[0][...] = pn.astype(copy_refs[0].dtype)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     plane = pl.BlockSpec((rb, cols), lambda i: (i, 0))
     f32 = jax.ShapeDtypeStruct((rows, cols), jnp.float32)
+    out_specs = [plane, plane, plane]
+    out_shape = [f32, f32, f32]
+    if copy_dtype is not None:
+        out_specs.append(plane)
+        out_shape.append(jax.ShapeDtypeStruct((rows, cols),
+                                              jnp.dtype(copy_dtype)))
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[smem, smem, smem, plane, plane, plane, plane],
-        out_specs=[plane, plane, plane],
-        out_shape=[f32, f32, f32],
+        out_specs=out_specs,
+        out_shape=out_shape,
         # p, m, v updated in place (inputs 4, 5, 6 -> outputs 0, 1, 2)
         input_output_aliases={4: 0, 5: 1, 6: 2},
         interpret=interpret,
@@ -89,14 +103,21 @@ def _fused_adamw_leaf(g, p, m, v, lr, c1, c2, *, b1, b2, eps, wd, interpret):
 
 
 def fused_adamw_apply(grads, opt_state, params, schedule, b1=0.9, b2=0.95,
-                      eps=1e-8, weight_decay=0.0, mask=None, interpret=None):
+                      eps=1e-8, weight_decay=0.0, mask=None, interpret=None,
+                      param_copy_dtype=None):
     """Drop-in for `updates, opt = tx.update(grads, opt, params);
     params = optax.apply_updates(params, updates)` with
     tx = optax.adamw(schedule, b1, b2, weight_decay=weight_decay, mask=mask).
 
     Returns (new_params, new_opt_state) with the SAME opt-state pytree as the
     optax chain. `mask`: optax-style pytree/callable of bools selecting the
-    decayed leaves."""
+    decayed leaves.
+
+    `param_copy_dtype` (e.g. "bfloat16"): ALSO return a cast copy of the new
+    params, written by the same kernel pass — return becomes
+    (new_params, params_copy, new_opt_state). Grads may arrive in the compute
+    dtype (bf16); the kernel upcasts them, which is value-identical to
+    differentiating the in-loss cast (the VJP upcast preserves values)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     adam = opt_state[0]
@@ -118,16 +139,21 @@ def fused_adamw_apply(grads, opt_state, params, schedule, b1=0.9, b2=0.95,
         else [True] * len(leaves_p)
     )
 
-    new_p, new_m, new_v = [], [], []
+    copy_dt = None if param_copy_dtype is None else str(
+        jnp.dtype(param_copy_dtype))
+    new_p, new_m, new_v, new_c = [], [], [], []
     for g, p, m, v, use_wd in zip(leaves_g, leaves_p, leaves_m, leaves_v,
                                   leaves_mask):
         wd = float(weight_decay) if (use_wd and weight_decay) else 0.0
-        p2, m2, v2 = _fused_adamw_leaf(g, p, m, v, lr, c1, c2, b1=float(b1),
-                                       b2=float(b2), eps=float(eps), wd=wd,
-                                       interpret=bool(interpret))
-        new_p.append(p2)
-        new_m.append(m2)
-        new_v.append(v2)
+        out = _fused_adamw_leaf(g, p, m, v, lr, c1, c2, b1=float(b1),
+                                b2=float(b2), eps=float(eps), wd=wd,
+                                interpret=bool(interpret),
+                                copy_dtype=copy_dt)
+        new_p.append(out[0])
+        new_m.append(out[1])
+        new_v.append(out[2])
+        if copy_dt is not None:
+            new_c.append(out[3])
 
     unflatten = treedef.unflatten
     new_adam = adam._replace(count=count, mu=unflatten(new_m),
@@ -141,4 +167,6 @@ def fused_adamw_apply(grads, opt_state, params, schedule, b1=0.9, b2=0.95,
             s._replace(count=count)
             if "count" in getattr(s, "_fields", ()) else s
         )
+    if copy_dt is not None:
+        return unflatten(new_p), unflatten(new_c), (new_adam, *rest)
     return unflatten(new_p), (new_adam, *rest)

@@ -123,6 +123,24 @@ class Stage2Trainer:
 
         x (and c when conditional): (B, ...) or (accum, B, ...) microbatches.
         """
+        params_c = (
+            _cast_tree(state.params, self.compute_dtype)
+            if self.compute_dtype is not None else state.params
+        )
+        new_state, logs, _ = self._step(state, variables, x, c, rng, params_c)
+        return new_state, logs
+
+    def _step(self, state: Stage2State, variables, x, c, rng, params_c):
+        """One optimizer step given `params_c`, the compute-dtype working
+        copy of state.params (== state.params when compute_dtype is None).
+
+        Differentiates w.r.t. the WORKING COPY — value-identical to casting
+        inside the loss (the cast VJP is an exact upcast) but removes the
+        bf16->f32 grad-cast pass, and the fused AdamW kernel emits the NEXT
+        step's working copy in its own single pass (`param_copy_dtype`), so
+        `train_steps` does zero standalone param-cast passes after the first.
+        Returns (new_state, logs, new_params_c).
+        """
 
         fs_vars = variables["first_stage"]
         if self.compute_dtype is not None:
@@ -137,7 +155,6 @@ class Stage2Trainer:
 
         def loss_fn(params, xi, ci, ri):
             if self.compute_dtype is not None:
-                params = _cast_tree(params, self.compute_dtype)
                 if not isinstance(xi, dict):
                     xi = xi.astype(self.compute_dtype)
             v = {
@@ -158,12 +175,17 @@ class Stage2Trainer:
         if isinstance(x, dict):
             assert self.accum == 1, "cached-codes mode supports accum=1"
         if self.accum == 1:
-            (total, out), grads = grad_fn(state.params, x, c, rng)
+            (total, out), grads = grad_fn(params_c, x, c, rng)
             log_src = {"total": total, **out}
         else:
+            # accumulate in f32 regardless of the grad dtype (the per-micro
+            # upcast is exactly what the in-loss cast's VJP used to do)
+            as_f32 = lambda g: jax.tree.map(
+                lambda t: t.astype(jnp.float32), g)
             rs = jax.random.split(rng, self.accum)
             c0 = None if c is None else c[0]
-            (t0, out0), g0 = grad_fn(state.params, x[0], c0, rs[0])
+            (t0, out0), g0 = grad_fn(params_c, x[0], c0, rs[0])
+            g0 = as_f32(g0)
 
             def micro(carry, inp):
                 gsum, logsum = carry
@@ -172,9 +194,9 @@ class Stage2Trainer:
                     ci = None
                 else:
                     xi, ci, ri = inp
-                (t, out), g = grad_fn(state.params, xi, ci, ri)
+                (t, out), g = grad_fn(params_c, xi, ci, ri)
                 return (
-                    jax.tree.map(jnp.add, gsum, g),
+                    jax.tree.map(jnp.add, gsum, as_f32(g)),
                     jax.tree.map(jnp.add, logsum, {"total": t, **out}),
                 ), None
 
@@ -187,18 +209,29 @@ class Stage2Trainer:
             log_src = jax.tree.map(lambda t: t * inv, logsum)
 
         grads = self._freeze_pad_rows(grads)
+        new_params_c = None
         if self.fused_adamw:
             from ..ops.fused_adamw import fused_adamw_apply
 
-            params, opt = fused_adamw_apply(
+            out = fused_adamw_apply(
                 grads, state.opt, state.params, self.schedule,
                 b1=0.9, b2=0.95, weight_decay=self.model.weight_decay,
                 mask=_decay_mask,
                 interpret=jax.default_backend() != "tpu",
+                param_copy_dtype=self.compute_dtype,
             )
+            if self.compute_dtype is not None:
+                params, new_params_c, opt = out
+            else:
+                params, opt = out
         else:
+            grads = jax.tree.map(lambda t: t.astype(jnp.float32), grads)
             updates, opt = self.tx.update(grads, state.opt, state.params)
             params = optax.apply_updates(state.params, updates)
+            if self.compute_dtype is not None:
+                new_params_c = _cast_tree(params, self.compute_dtype)
+        if new_params_c is None:
+            new_params_c = params
         logs = {
             "train_loss": log_src["total"],
             "train_content_loss": log_src["content_loss"],
@@ -206,7 +239,8 @@ class Stage2Trainer:
             "train_coarse_position_loss": log_src["coarse_position_loss"],
             "train_fine_position_loss": log_src["fine_position_loss"],
         }
-        return Stage2State(params, opt, state.step + 1, state.epoch), logs
+        new_state = Stage2State(params, opt, state.step + 1, state.epoch)
+        return new_state, logs, new_params_c
 
     def train_steps(self, state: Stage2State, variables, xs, cs, rng):
         """K full optimizer steps in ONE compiled program (lax.scan).
@@ -218,18 +252,26 @@ class Stage2Trainer:
         """
         k = jax.tree_util.tree_leaves(xs)[0].shape[0]
         rs = jax.random.split(rng, k)
+        params_c0 = (
+            _cast_tree(state.params, self.compute_dtype)
+            if self.compute_dtype is not None else state.params
+        )
 
-        def body(s, inp):
+        def body(carry, inp):
+            s, pc = carry
             if cs is None:
                 xi, ri = inp
                 ci = xi
             else:
                 xi, ci, ri = inp
-            s, logs = self.train_step(s, variables, xi, ci, ri)
-            return s, logs
+            # _step's fused AdamW emits the next iteration's working copy
+            # in-kernel — no standalone cast pass inside the scan
+            s, logs, pc = self._step(s, variables, xi, ci, ri, pc)
+            return (s, pc), logs
 
         ins = (xs, rs) if cs is None else (xs, cs, rs)
-        return jax.lax.scan(body, state, ins)
+        (state, _), logs = jax.lax.scan(body, (state, params_c0), ins)
+        return state, logs
 
     def encode_dataset(self, variables, images, batch: int = 64):
         """Images -> stacked permuter streams, once (cached-codes pipeline).

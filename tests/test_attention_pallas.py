@@ -36,8 +36,17 @@ def _naive(q, k, v, h=H, scale=None):
     return y.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
 
 
+@pytest.fixture
+def force_qb_256(monkeypatch):
+    """Pin the query block to 256 so T > 256 exercises the multi-block /
+    partial-final-block paths (the default policy is full-T for T <= 1024)."""
+    from dynamicvectorquantization_tpu.ops import attention_pallas as ap
+
+    monkeypatch.setattr(ap, "_QB_ENV", "256")
+
+
 @pytest.mark.parametrize("t", [256, 384, 300])  # 384/300: T % QB != 0 paths
-def test_fused_attention_matches_naive(t):
+def test_fused_attention_matches_naive(t, force_qb_256):
     b, d = 2, 128
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     q, k, v = (jax.random.normal(kk, (b, t, d), jnp.float32) for kk in ks)
@@ -48,7 +57,46 @@ def test_fused_attention_matches_naive(t):
                                atol=2e-5)
 
 
-def test_fused_attention_grads_match_naive():
+@pytest.mark.parametrize("t", [256, 300])
+def test_fused_attention_full_t_blocks(t):
+    """Default policy: one grid step per (b, h) — incl. non-8-multiple T."""
+    b, d = 2, 128
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (jax.random.normal(kk, (b, t, d), jnp.float32) for kk in ks)
+
+    y = fused_causal_attention(q, k, v, 0, H, 0.0, None, True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(_naive(q, k, v)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attention_noncausal_matches_naive():
+    """causal=False single-head — the conv AttnBlock configuration."""
+    b, t, d = 2, 300, 128
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    q, k, v = (jax.random.normal(kk, (b, t, d), jnp.float32) for kk in ks)
+
+    def naive_full(q, k, v):
+        s = jnp.einsum("bic,bjc->bij", q, k).astype(jnp.float32) * (d ** -0.5)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bij,bjc->bic", p.astype(v.dtype), v)
+
+    y = fused_causal_attention(q, k, v, 0, 1, 0.0, d ** -0.5, True, False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(naive_full(q, k, v)),
+                               rtol=2e-5, atol=2e-5)
+
+    gf = jax.grad(
+        lambda q, k, v: jnp.sum(jnp.sin(
+            fused_causal_attention(q, k, v, 0, 1, 0.0, d ** -0.5, True, False)
+        )), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(
+        lambda q, k, v: jnp.sum(jnp.sin(naive_full(q, k, v))),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4,
+                                   atol=2e-4)
+
+
+def test_fused_attention_grads_match_naive(force_qb_256):
     b, t, d = 1, 300, 128  # partial final query block exercises row masking
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
     q, k, v = (jax.random.normal(kk, (b, t, d), jnp.float32) for kk in ks)

@@ -81,3 +81,39 @@ def test_fused_adamw_under_jit_and_grid():
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    atol=1e-7)
+
+
+def test_fused_adamw_param_copy_and_bf16_grads():
+    """param_copy_dtype returns an in-kernel bf16 cast of the new params,
+    and bf16 grads produce the SAME update as their f32 upcast (the
+    mixed-precision trainer differentiates w.r.t. the bf16 working copy)."""
+    params = _params()
+    tx = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=0.01, mask=_mask)
+    opt = tx.init(params)
+    g_bf16 = jax.tree_util.tree_map(
+        lambda p: (jax.random.normal(jax.random.PRNGKey(3), p.shape)
+                   * 0.01).astype(jnp.bfloat16),
+        params,
+    )
+    g_f32 = jax.tree_util.tree_map(lambda t: t.astype(jnp.float32), g_bf16)
+
+    p_a, copy_a, opt_a = fused_adamw_apply(
+        g_bf16, opt, params, 1e-3, b1=0.9, b2=0.95, weight_decay=0.01,
+        mask=_mask, interpret=True, param_copy_dtype="bfloat16",
+    )
+    p_b, opt_b = fused_adamw_apply(
+        g_f32, opt, params, 1e-3, b1=0.9, b2=0.95, weight_decay=0.01,
+        mask=_mask, interpret=True,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(p_a),
+                    jax.tree_util.tree_leaves(p_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(opt_a),
+                    jax.tree_util.tree_leaves(opt_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the copy is exactly astype(bf16) of the new params
+    for c, p in zip(jax.tree_util.tree_leaves(copy_a),
+                    jax.tree_util.tree_leaves(p_a)):
+        assert c.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(c), np.asarray(p.astype(jnp.bfloat16)))

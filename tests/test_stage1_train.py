@@ -12,7 +12,9 @@ from tests.test_dqvae import dual_config
 
 @pytest.fixture(scope="module")
 def trainer_and_state():
-    cfg = dual_config(resolution=64, entropy_router=True)
+    # 32^2 exercises the identical GAN-step code paths (LPIPS, disc, budget,
+    # adaptive weight, EMA) at 1/4 the conv work (suite-trim r03)
+    cfg = dual_config(resolution=32, entropy_router=True)
     cfg["lossconfig"] = {
         "target": "modules.losses.vqperceptual_multidisc.VQLPIPSWithDiscriminator",
         "params": {
@@ -30,7 +32,7 @@ def trainer_and_state():
             "budget_loss_config": {
                 "target": "modules.dynamic_modules.budget.BudgetConstraint_RatioMSE_DualGrain",
                 "params": {"target_ratio": 0.5, "gamma": 1.0,
-                           "min_grain_size": 4, "max_grain_size": 8},
+                           "min_grain_size": 2, "max_grain_size": 4},
             },
         },
     }
@@ -38,7 +40,7 @@ def trainer_and_state():
     # warmup_steps=0: step 0 of a warmup has lr == 0 (reference LambdaLR
     # semantics), which would make "params moved" assertions vacuous
     trainer = Stage1Trainer(model, learning_rate=1e-3, warmup_steps=0, max_steps=100)
-    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3), minval=-1, maxval=1)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3), minval=-1, maxval=1)
     state = trainer.init_state(jax.random.PRNGKey(1), x)
     return trainer, state, x
 

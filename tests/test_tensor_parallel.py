@@ -77,8 +77,11 @@ def test_tp_step_matches_unsharded(dualformer, batch):  # noqa: F811
     ref_leaves = jax.tree_util.tree_leaves(s_ref.params)
     tp_leaves = jax.tree_util.tree_leaves(s_tp.params)
     for a, b in zip(ref_leaves, tp_leaves):
+        # atol 1e-4 = 10% of one lr=1e-3 Adam step: the tp contraction
+        # changes reduction order, and on a near-zero grad the m/sqrt(v)
+        # normalizer amplifies that noise into ~1e-4 of param delta
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=2e-4, atol=2e-5)
+                                   rtol=2e-4, atol=1e-4)
 
 
 @pytest.mark.slow
