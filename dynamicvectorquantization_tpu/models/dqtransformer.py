@@ -139,6 +139,13 @@ class Dualformer:
         self.min_learning_rate = 0.0
         self.steps_per_epoch = None
         self.training_steps = None
+        # Optional override for the training-forward transformer apply —
+        # `(variables_tf, call_kwargs, rngs) -> loss dict`. The sp/pp
+        # trainer axes (train.py --sp/--pp) install
+        # `parallel/stackgpt_sp.stackgpt_train_losses_sp` /
+        # `parallel/stackgpt_pp.stackgpt_train_losses_pp` here; None keeps
+        # the dense `self.transformer.apply` path.
+        self.transformer_train_apply = None
 
     # ----------------------------------------------------------------- init
     def init(self, rng, first_stage_variables, image_size=None):
@@ -227,8 +234,7 @@ class Dualformer:
         coarse_position_target = az_coarse_position[:, 1:]
         fine_position_target = az_fine_position
 
-        return self.transformer.apply(
-            variables["transformer"],
+        call_kwargs = dict(
             coarse_content=az_coarse_content,
             fine_content=az_fine_content,
             coarse_position=az_coarse_position,
@@ -239,7 +245,13 @@ class Dualformer:
             coarse_position_target=coarse_position_target,
             fine_position_target=fine_position_target,
             train=train,
-            rngs=rngs,
+        )
+        if self.transformer_train_apply is not None:
+            return self.transformer_train_apply(
+                variables["transformer"], call_kwargs, rngs
+            )
+        return self.transformer.apply(
+            variables["transformer"], **call_kwargs, rngs=rngs
         )
 
     def loss(self, output):

@@ -156,6 +156,26 @@ class StackGPT(nn.Module):
         if content_target is None:
             return {"position_logits": position_logits, "content_logits": content_logits}
 
+        return self.losses_from_logits(
+            position_logits, content_logits, content_target,
+            coarse_position_target, fine_position_target, coarse_length,
+        )
+
+    def losses_from_logits(
+        self,
+        position_logits,
+        content_logits,
+        content_target,
+        coarse_position_target,
+        fine_position_target,
+        coarse_length: int,
+    ):
+        """CE losses from the training logits. Pure config (no params), so
+        it is also callable OUTSIDE `apply` — the sp/pp training paths
+        (`parallel/stackgpt_sp.py`, `parallel/stackgpt_pp.py`) produce
+        logits through shard_map and reuse this exact loss block; the
+        slices/reductions over mesh-sharded logits compile to local
+        reductions + a scalar psum under GSPMD."""
         if self.activate_pad_ignore:
             split = coarse_length - 1
             cpl = cross_entropy_ignore(

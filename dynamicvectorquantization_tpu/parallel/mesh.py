@@ -49,12 +49,13 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def make_mesh_2d(n_dp: int, n_tp: int) -> Mesh:
-    """(dp, tp) mesh for stage-2 tensor parallelism. On real pods lay tp on
-    the innermost (fastest-ICI) axis; jax.devices() order already is
+def make_mesh_2d(n_dp: int, n_tp: int, axis2: str = "tp") -> Mesh:
+    """(dp, <axis2>) mesh for the stage-2 model-parallel axes (tp default;
+    "sp"/"pp" for `train.py --sp/--pp`). On real pods lay the model axis on
+    the innermost (fastest-ICI) dimension; jax.devices() order already is
     torus-local on TPU."""
     devices = np.asarray(jax.devices()[: n_dp * n_tp]).reshape(n_dp, n_tp)
-    return Mesh(devices, ("dp", "tp"))
+    return Mesh(devices, ("dp", axis2))
 
 
 def stage2_param_shardings(mesh: Mesh, params):

@@ -39,12 +39,20 @@ def stack_layer_params(layer_params: list, n_stages: int):
     return jax.tree_util.tree_map(stack, *layer_params)
 
 
-def gpipe_apply(block_fn, stacked_params, x, mesh: Mesh, axis: str = "pp"):
+def gpipe_apply(block_fn, stacked_params, x, mesh: Mesh, axis: str = "pp",
+                batch_axis: str | None = None, rng=None):
     """Run M microbatches through S pipeline stages.
 
     block_fn(params, x) -> x applies ONE block. Each stage scans its local
     layers; the classic M+S-1-tick schedule streams activations stage to
     stage via ppermute.
+
+    batch_axis: mesh axis the microbatch dim (x's axis 1) is sharded over —
+    composes pp with data parallelism on a (dp, pp) mesh.
+    rng: optional PRNG key. When given, block_fn is called as
+    block_fn(params, x, key) with a key folded per (tick, layer) — dropout
+    inside the blocks draws a fresh mask per microbatch per layer, matching
+    the dense stack's statistics.
     """
     n_stages = mesh.shape[axis]
     m = x.shape[0]
@@ -52,19 +60,31 @@ def gpipe_apply(block_fn, stacked_params, x, mesh: Mesh, axis: str = "pp"):
     p_spec = jax.tree_util.tree_map(
         lambda l: P(axis, *(None,) * (l.ndim - 1)), stacked_params
     )
+    x_spec = P(None, batch_axis, *(None,) * (x.ndim - 2))
 
-    def stage_fn(local_params, xs):
+    def stage_fn(local_params, xs, *maybe_key):
         # local_params leaves: (1, L_per, ...) — this stage's layer group
         local_params = jax.tree_util.tree_map(lambda l: l[0], local_params)
+        per = jax.tree_util.tree_leaves(local_params)[0].shape[0]
         stage = jax.lax.axis_index(axis)
         is_first = stage == 0
         is_last = stage == n_stages - 1
 
-        def run_stage(h):
-            def body(carry, p):
-                return block_fn(p, carry), None
+        def run_stage(h, t):
+            def body(carry, inp):
+                if maybe_key:
+                    p, li = inp
+                    # global layer id = stage*per + li; tick t is static
+                    key = jax.random.fold_in(
+                        maybe_key[0], (stage * per + li) * 4096 + t
+                    )
+                    return block_fn(p, carry, key), None
+                return block_fn(inp, carry), None
 
-            out, _ = jax.lax.scan(body, h, local_params)
+            ins = (
+                (local_params, jnp.arange(per)) if maybe_key else local_params
+            )
+            out, _ = jax.lax.scan(body, h, ins)
             return out
 
         zeros = jnp.zeros_like(xs[0])
@@ -73,7 +93,7 @@ def gpipe_apply(block_fn, stacked_params, x, mesh: Mesh, axis: str = "pp"):
         for t in range(m + n_stages - 1):
             mb = xs[min(t, m - 1)] if t < m else jnp.zeros_like(xs[0])
             h_in = jnp.where(is_first, mb, carry_in)
-            h_out = run_stage(h_in)
+            h_out = run_stage(h_in, t)
             # last stage emits microbatch t-(S-1) at tick t
             outs.append(h_out)
             # hop to the next stage (ring permute; the wraparound value is
@@ -87,20 +107,22 @@ def gpipe_apply(block_fn, stacked_params, x, mesh: Mesh, axis: str = "pp"):
         # broadcast the result to every pp member (psum of one-hot copies)
         return jax.lax.psum(y_last, axis)
 
+    in_specs = (p_spec, x_spec) + (() if rng is None else (P(),))
+    args = (stacked_params, x) + (() if rng is None else (rng,))
     try:
         from jax import shard_map  # jax >= 0.8 (check_vma kw)
         fn = shard_map(
-            stage_fn, mesh=mesh, in_specs=(p_spec, P()), out_specs=P(),
+            stage_fn, mesh=mesh, in_specs=in_specs, out_specs=x_spec,
             check_vma=False,
         )
     except (ImportError, TypeError):  # pragma: no cover
         from jax.experimental.shard_map import shard_map as shard_map_old
 
         fn = shard_map_old(
-            stage_fn, mesh=mesh, in_specs=(p_spec, P()), out_specs=P(),
+            stage_fn, mesh=mesh, in_specs=in_specs, out_specs=x_spec,
             check_rep=False,
         )
-    return fn(stacked_params, x)
+    return fn(*args)
 
 
 def sequential_apply(block_fn, layer_params: list, x):

@@ -89,6 +89,9 @@ class Trainer:
         opt_sharding: bool = False,
         fsdp: bool = False,
         tp: int = 1,
+        sp: int = 1,
+        pp: int = 1,
+        pp_microbatches: int = 2,
         logtype: str = "csv",
     ):
         self.logdir = logdir
@@ -104,16 +107,32 @@ class Trainer:
         # moments over dp) and --activate_fsdp (tp-replicated leaves
         # dp-sharded).
         self.tp = int(tp)
+        # --sp N / --pp N: sequence parallelism (ring attention) / GPipe
+        # pipeline parallelism for the stage-2 transformer over a (dp, sp)
+        # or (dp, pp) mesh — the training forward is swapped for
+        # `parallel/stackgpt_sp.py` / `parallel/stackgpt_pp.py` (params stay
+        # replicated over the model axis; activations shard).
+        self.sp = int(sp)
+        self.pp = int(pp)
+        self.pp_microbatches = int(pp_microbatches)
+        if sum(a > 1 for a in (self.tp, self.sp, self.pp)) > 1:
+            raise ValueError("--tp/--sp/--pp are mutually exclusive axes")
+        model_axis = (
+            ("tp", self.tp) if self.tp > 1 else
+            ("sp", self.sp) if self.sp > 1 else
+            ("pp", self.pp) if self.pp > 1 else None
+        )
         if mesh is None:
-            if self.tp > 1:
+            if model_axis is not None:
                 import jax as _jax
 
+                name, n = model_axis
                 ndev = len(_jax.devices())
-                if ndev % self.tp:
-                    raise ValueError(f"--tp {tp} does not divide {ndev} devices")
+                if ndev % n:
+                    raise ValueError(f"--{name} {n} does not divide {ndev} devices")
                 from ..parallel.mesh import make_mesh_2d
 
-                mesh = make_mesh_2d(ndev // self.tp, self.tp)
+                mesh = make_mesh_2d(ndev // n, n, axis2=name)
             else:
                 mesh = make_mesh()
         self.mesh = mesh
@@ -309,10 +328,11 @@ class Trainer:
 
     # --------------------------------------------------------------- stage 1
     def _fit_stage1(self, model, data, train_loader, warmup_steps, eval_only=False):
-        if self.tp > 1:
+        if self.tp > 1 or self.sp > 1 or self.pp > 1:
             raise ValueError(
-                "--tp targets the stage-2 transformer; stage-1 (conv DQ-VAE) "
-                "scales with dp / --activate_ddp_share / --activate_fsdp"
+                "--tp/--sp/--pp target the stage-2 transformer; stage-1 "
+                "(conv DQ-VAE) scales with dp / --activate_ddp_share / "
+                "--activate_fsdp"
             )
         trainer = Stage1Trainer(
             model,
@@ -455,6 +475,23 @@ class Trainer:
 
     # --------------------------------------------------------------- stage 2
     def _fit_stage2(self, model, data, train_loader, warmup_steps, eval_only=False):
+        if self.sp > 1:
+            from ..parallel.stackgpt_sp import stackgpt_train_losses_sp
+
+            model.transformer_train_apply = (
+                lambda v, kw, r: stackgpt_train_losses_sp(
+                    model, v, self.mesh, kw, rngs=r
+                )
+            )
+        elif self.pp > 1:
+            from ..parallel.stackgpt_pp import stackgpt_train_losses_pp
+
+            model.transformer_train_apply = (
+                lambda v, kw, r: stackgpt_train_losses_pp(
+                    model, v, self.mesh, kw,
+                    microbatches=self.pp_microbatches, rngs=r,
+                )
+            )
         trainer = Stage2Trainer(
             model,
             learning_rate=model.learning_rate,

@@ -58,6 +58,16 @@ def get_parser():
                    help="tensor-parallel degree for the stage-2 transformer "
                         "((dp, tp) mesh; composes with --activate_ddp_share/"
                         "--activate_fsdp)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel degree for the stage-2 "
+                        "transformer ((dp, sp) mesh; ring attention — the "
+                        "padded sequence length must divide sp)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel degree for the stage-2 content "
+                        "stack ((dp, pp) mesh, GPipe microbatch schedule)")
+    p.add_argument("--pp_microbatches", type=int, default=2,
+                   help="GPipe microbatches per step under --pp (bubble "
+                        "fraction (pp-1)/(M+pp-1); must divide the batch)")
     p.add_argument("--activate_fsdp", action="store_true",
                    help="also shard the params over dp (ZeRO-3 analog; "
                         "GSPMD gathers weights at use, reduce-scatters grads)")
@@ -111,16 +121,24 @@ def main():
     data = instantiate_from_config(config["data"])
 
     n_devices = None if opt.devices in (-1, 0) else opt.devices
-    if opt.tp > 1:
-        # (dp, tp) mesh: stage-2 tensor parallelism from one flag
+    if sum(a > 1 for a in (opt.tp, opt.sp, opt.pp)) > 1:
+        raise SystemExit("--tp/--sp/--pp are mutually exclusive axes")
+    model_axis = (
+        ("tp", opt.tp) if opt.tp > 1 else
+        ("sp", opt.sp) if opt.sp > 1 else
+        ("pp", opt.pp) if opt.pp > 1 else None
+    )
+    if model_axis is not None:
+        # (dp, tp|sp|pp) mesh: stage-2 model parallelism from one flag
         import jax
 
         from dynamicvectorquantization_tpu.parallel.mesh import make_mesh_2d
 
+        name, n = model_axis
         total = n_devices or len(jax.devices())
-        if total % opt.tp:
-            raise SystemExit(f"--tp {opt.tp} does not divide {total} devices")
-        mesh = make_mesh_2d(total // opt.tp, opt.tp)
+        if total % n:
+            raise SystemExit(f"--{name} {n} does not divide {total} devices")
+        mesh = make_mesh_2d(total // n, n, axis2=name)
     else:
         mesh = make_mesh(n_devices)
     ndev = mesh.devices.size
@@ -157,6 +175,9 @@ def main():
         opt_sharding=opt.activate_ddp_share,
         fsdp=opt.activate_fsdp,
         tp=opt.tp,
+        sp=opt.sp,
+        pp=opt.pp,
+        pp_microbatches=opt.pp_microbatches,
         logtype=opt.logtype,
     )
     do_train = str(opt.train).lower() not in ("false", "0", "no")
