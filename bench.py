@@ -101,6 +101,17 @@ def main():
         )
         line["extra_bench_rev"] = extra.get("git_rev")
     print(json.dumps(line))
+    # CI-style gate (VERDICT r02): the headline must stay >= 1.0x the
+    # 5x-A100 target. The JSON line above is already emitted for the
+    # driver; the nonzero exit makes a regression loud instead of a
+    # silently-recorded sub-1.0 multiple.
+    if line["vs_baseline"] < 1.0:
+        print(
+            f"BENCH GATE FAILED: vs_baseline {line['vs_baseline']} < 1.0 "
+            f"({ips:.1f} img/s vs the {TARGET_MULTIPLE * A100_ENCODE_IPS_EST:.0f} target)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

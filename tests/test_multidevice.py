@@ -31,7 +31,7 @@ def _flat(tree):
 def test_stage1_train_step_dp8_equals_dp1(trainer_and_state):  # noqa: F811
     trainer, state, _ = trainer_and_state
     # batch divisible by 8 so each device gets one sample
-    x = jax.random.uniform(jax.random.PRNGKey(42), (8, 64, 64, 3),
+    x = jax.random.uniform(jax.random.PRNGKey(42), (8, 32, 32, 3),
                            minval=-1, maxval=1)
     rng = jax.random.PRNGKey(5)
 
@@ -94,7 +94,7 @@ def test_stage1_train_step_dp8_equals_dp1(trainer_and_state):  # noqa: F811
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 def test_stage1_eval_step_dp8_equals_dp1(trainer_and_state):  # noqa: F811
     trainer, state, _ = trainer_and_state
-    x = jax.random.uniform(jax.random.PRNGKey(43), (8, 64, 64, 3),
+    x = jax.random.uniform(jax.random.PRNGKey(43), (8, 32, 32, 3),
                            minval=-1, maxval=1)
     outs = {}
     for n in (1, 8):
