@@ -7,6 +7,10 @@ r=0.5 regime (coarse 161 / fine 645 incl. prefix, ~808 tokens).
 
 Env: DQVQ_BENCH_S2_BATCH (default 8), DQVQ_BENCH_S2_ITERS (default 3),
 DQVQ_BENCH_S2_FLASH=1 enables the Pallas flash-attention training path.
+DQVQ_BENCH_S2_CACHED=1 measures the cached-codes production mode
+(Stage2Trainer.encode_dataset once, then token-stream train steps via
+`forward_tokens` — the mode the 10k-step campaign ran): the frozen
+first-stage conv encode leaves the step entirely.
 """
 import json
 import numpy as np
@@ -31,6 +35,7 @@ def main():
     batch = int(os.environ.get("DQVQ_BENCH_S2_BATCH", "8"))
     iters = int(os.environ.get("DQVQ_BENCH_S2_ITERS", "10"))
     use_flash = os.environ.get("DQVQ_BENCH_S2_FLASH", "0") == "1"
+    cached = os.environ.get("DQVQ_BENCH_S2_CACHED", "0") == "1"
     accum = int(os.environ.get("DQVQ_BENCH_S2_ACCUM", "1"))
     # K>1: K full optimizer steps per dispatch (Stage2Trainer.train_steps)
     steps_per_call = int(os.environ.get("DQVQ_BENCH_S2_STEPS_PER_CALL", "1"))
@@ -61,7 +66,24 @@ def main():
         step = lambda s, v, xi, ci, r: many(s, v, xi, None, r)
     else:
         step = jax.jit(trainer.train_step, donate_argnums=(0,))
-    x = jax.random.uniform(jax.random.PRNGKey(2), shape, minval=-1, maxval=1)
+    if cached:
+        assert accum == 1, "cached-codes mode supports accum=1"
+        imgs = jax.random.uniform(
+            jax.random.PRNGKey(2), (steps_per_call * batch, 256, 256, 3),
+            minval=-1, maxval=1,
+        )
+        z = trainer.encode_dataset(variables, np.asarray(imgs))
+        x = {
+            k: jnp.asarray(v).reshape(
+                (steps_per_call, batch) + v.shape[1:]
+            ) if steps_per_call > 1 else jnp.asarray(v)
+            for k, v in z.items()
+        }
+        perturb = lambda xi, i: xi  # int token streams; nothing to nudge
+    else:
+        x = jax.random.uniform(jax.random.PRNGKey(2), shape, minval=-1,
+                               maxval=1)
+        perturb = lambda xi, i: xi + jnp.float32(i) * 1e-8
 
     t0 = time.perf_counter()
     state, logs = step(state, variables, x, x, jax.random.PRNGKey(3))
@@ -76,7 +98,7 @@ def main():
 
     t0 = time.perf_counter()
     for i in range(iters):
-        state, logs = step(state, variables, x + jnp.float32(i) * 1e-8, x,
+        state, logs = step(state, variables, perturb(x, i), x,
                            jax.random.PRNGKey(4 + i))
     float(np.ravel(np.asarray(logs["train_loss"]))[-1])
     dt = time.perf_counter() - t0
@@ -88,6 +110,7 @@ def main():
         "vs_baseline": None,
         "config": {"batch": batch, "flash": use_flash, "dtype": dtype,
                    "accum": accum, "steps_per_call": steps_per_call,
+                   "cached_codes": cached,
                    "loss": round(float(np.ravel(logs["train_loss"])[-1]), 4)},
     }))
 

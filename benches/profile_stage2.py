@@ -2,14 +2,13 @@
 """Trace stage-2 train steps and print the top device ops (op_profile).
 
 Writes a jax.profiler trace for a few post-warmup steps, then parses the
-xplane with tensorboard_plugin_profile and prints the self-time ranking —
+xplane directly (tensorflow.tsl protos) and prints the self-time ranking —
 the tool that located the dropout-PRNG and attention-materialization costs.
 
 Env: DQVQ_BENCH_S2_BATCH (default 8), DQVQ_BENCH_S2_DTYPE (default
 bfloat16), DQVQ_PROFILE_DIR (default /tmp/s2_profile).
 """
 import glob
-import gzip
 import json
 import os
 import sys
@@ -69,35 +68,58 @@ def main():
     xplane = max(xplanes, key=os.path.getmtime)
     print(f"xplane: {xplane}", file=sys.stderr)
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    # Parse the xplane directly (tensorflow.tsl protos; the
+    # tensorboard_plugin_profile converter needs a protoc/pywrap pairing this
+    # image doesn't ship). The TPU device plane's "XLA Ops" line holds
+    # non-overlapping leaf op events; "Steps" holds one event per dispatched
+    # step — real train steps are the >1 ms ones (tiny events are the log
+    # fetches).
+    import collections
+    import re
 
-    data, _ = rtd.xspace_to_tool_data([xplane], "framework_op_stats", {})
-    if isinstance(data, bytes):
-        try:
-            data = gzip.decompress(data)
-        except OSError:
-            pass
-        data = data.decode("utf-8", "replace")
-    # framework_op_stats arrives as gviz JSON; fall back to printing raw head
-    try:
-        tbl = json.loads(data)
-        cols = [c["label"] for c in tbl["cols"]]
-        rows = [[c.get("v") for c in r["c"]] for r in tbl["rows"]]
-        i_name = cols.index("Operation")
-        i_self = next(i for i, c in enumerate(cols) if "self-time" in c.lower())
-        i_occ = next((i for i, c in enumerate(cols)
-                      if "occurrences" in c.lower()), None)
-        rows.sort(key=lambda r: -(r[i_self] or 0))
-        total = sum(r[i_self] or 0 for r in rows)
-        print(f"{'self_us':>12}  {'%':>5}  {'n':>5}  op")
-        for r in rows[:25]:
-            pct = 100 * (r[i_self] or 0) / max(total, 1)
-            occ = r[i_occ] if i_occ is not None else "-"
-            print(f"{r[i_self]:>12.0f}  {pct:>5.1f}  {occ:>5}  {r[i_name][:90]}")
-        print(f"total self-time: {total/1e3:.1f} ms over traced steps")
-    except Exception as e:
-        print(f"parse fallback ({e}); raw head:")
-        print(data[:3000])
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(xplane, "rb") as f:
+        xs.ParseFromString(f.read())
+    planes = [
+        pl for pl in xs.planes
+        if pl.name.startswith("/device:") and pl.lines
+    ]
+    if not planes:
+        print(json.dumps({"error": "no device plane", "xplane": xplane}))
+        return
+    # prefer the accelerator plane over e.g. /device:CUSTOM:Megascale Trace
+    plane = next((pl for pl in planes if "TPU" in pl.name), planes[0])
+    md = plane.event_metadata
+    ops = next(l for l in plane.lines if l.name == "XLA Ops")
+    steps_line = next((l for l in plane.lines if l.name == "Steps"), None)
+    nsteps = (
+        sum(1 for e in steps_line.events if e.duration_ps > 1e9)
+        if steps_line is not None else 1
+    ) or 1
+
+    by_op = collections.Counter()
+    by_family = collections.Counter()
+    n_family = collections.Counter()
+    for e in ops.events:
+        m = md[e.metadata_id]
+        name = m.display_name or m.name
+        by_op[name] += e.duration_ps
+        fam = re.sub(r"[.\d]+$", "", name)
+        by_family[fam] += e.duration_ps
+        n_family[fam] += 1
+    total = sum(by_op.values())
+
+    print(f"{'ms/step':>8}  {'%':>5}  {'n':>6}  op family "
+          f"({nsteps} real steps traced)")
+    for fam, ps in by_family.most_common(20):
+        print(f"{ps / 1e9 / nsteps:8.2f}  {100 * ps / total:5.1f}  "
+              f"{n_family[fam]:6}  {fam[:90]}")
+    print(f"\n{'ms/step':>8}  {'%':>5}  top individual ops")
+    for name, ps in by_op.most_common(15):
+        print(f"{ps / 1e9 / nsteps:8.2f}  {100 * ps / total:5.1f}  {name[:90]}")
+    print(f"total device time: {total / 1e9 / nsteps:.1f} ms/step")
 
 
 if __name__ == "__main__":
