@@ -95,6 +95,8 @@ def main():
         with open(extra_path) as f:
             extra = json.load(f)
         line["stage2_train_ips"] = extra.get("stage2_train_ips")
+        if extra.get("stage2_train_cached_ips") is not None:
+            line["stage2_train_cached_ips"] = extra["stage2_train_cached_ips"]
         line["generation_ips"] = extra.get("generation_ips")
         line["generation_vs_reference_est"] = extra.get(
             "generation_vs_reference_est"

@@ -48,6 +48,15 @@ def main():
           file=sys.stderr)
 
     t0 = time.time()
+    s2c = _run("bench_train_stage2.py", {
+        "DQVQ_BENCH_S2_FLASH": "1", "DQVQ_BENCH_S2_STEPS_PER_CALL": "4",
+        "DQVQ_BENCH_S2_ITERS": "8", "DQVQ_BENCH_S2_CACHED": "1",
+    })
+    results["stage2_train_cached_ips"] = s2c["value"]
+    print(f"stage2 train (cached codes): {s2c['value']} img/s "
+          f"({time.time()-t0:.0f}s)", file=sys.stderr)
+
+    t0 = time.time()
     gen = _run("bench_sample.py", {"DQVQ_BENCH_SAMPLE_BATCH": "128",
                                    "DQVQ_BENCH_SAMPLE_KV": "int8"})
     results["generation_ips"] = gen["value"]
