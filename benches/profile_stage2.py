@@ -46,8 +46,20 @@ def main():
     fs_vars = model.first_stage_model.init(jax.random.PRNGKey(0))
     variables = model.init(jax.random.PRNGKey(1), fs_vars)
     state = trainer.init_state(variables)
-    x = jax.random.uniform(jax.random.PRNGKey(2), (batch, 256, 256, 3),
-                           minval=-1, maxval=1)
+    if os.environ.get("DQVQ_BENCH_S2_CACHED", "0") == "1":
+        # cached-codes production mode: encode once, profile the pure
+        # token-stream train step (Stage2Trainer.encode_dataset +
+        # model.forward_tokens) — the mode the 10k campaign ran.
+        import numpy as np
+
+        imgs = jax.random.uniform(jax.random.PRNGKey(2),
+                                  (batch, 256, 256, 3), minval=-1, maxval=1)
+        z = trainer.encode_dataset(variables, np.asarray(imgs))
+        import jax.numpy as jnp
+        x = {k: jnp.asarray(v) for k, v in z.items()}
+    else:
+        x = jax.random.uniform(jax.random.PRNGKey(2), (batch, 256, 256, 3),
+                               minval=-1, maxval=1)
     step = jax.jit(trainer.train_step, donate_argnums=(0,))
 
     for i in range(3):  # compile + warmup
@@ -99,9 +111,17 @@ def main():
         if steps_line is not None else 1
     ) or 1
 
+    # stat metadata: resolve the "hlo_category" stat id so generic "fusion"
+    # ops can be split into matmul ("convolution fusion") vs elementwise
+    # ("loop/input/output fusion") buckets — the MXU-share number VERDICT
+    # r02 asks for.
+    smd = plane.stat_metadata
+    cat_ids = {i for i, s in smd.items() if s.name == "hlo_category"}
+
     by_op = collections.Counter()
     by_family = collections.Counter()
     n_family = collections.Counter()
+    by_cat = collections.Counter()
     for e in ops.events:
         m = md[e.metadata_id]
         name = m.display_name or m.name
@@ -109,7 +129,18 @@ def main():
         fam = re.sub(r"[.\d]+$", "", name)
         by_family[fam] += e.duration_ps
         n_family[fam] += 1
+        cat = ""
+        for st in e.stats:
+            if st.metadata_id in cat_ids:
+                cat = st.str_value
+                break
+        by_cat[cat or "?"] += e.duration_ps
     total = sum(by_op.values())
+
+    print(f"{'ms/step':>8}  {'%':>5}  hlo_category")
+    for cat, ps in by_cat.most_common(12):
+        print(f"{ps / 1e9 / nsteps:8.2f}  {100 * ps / total:5.1f}  {cat}")
+    print()
 
     print(f"{'ms/step':>8}  {'%':>5}  {'n':>6}  op family "
           f"({nsteps} real steps traced)")

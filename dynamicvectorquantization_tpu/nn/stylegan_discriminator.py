@@ -27,6 +27,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .activations import gelu
+
 
 def _leaky(x, slope=0.2):
     return nn.leaky_relu(x, slope)
@@ -95,7 +97,7 @@ class LinearAttention(nn.Module):
         context = jnp.einsum("bhnd,bhne->bhde", k, v)
         out = jnp.einsum("bhnd,bhde->bhne", q, context)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, hh, ww, inner)
-        out = nn.gelu(out, approximate=False)
+        out = gelu(out)  # dtype-gated fast GELU (nn/activations.py)
         return nn.Conv(self.dim, (1, 1), name="to_out")(out)
 
 

@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .activations import gelu
 from .init import normal_init
 from .norm import FusedLayerNorm
 
@@ -274,7 +275,7 @@ class Block(nn.Module):
         x = x + attn_out
         h = FusedLayerNorm(epsilon=1e-5, name="ln2")(x)
         h = nn.Dense(4 * self.n_embd, kernel_init=normal_init(0.02), name="mlp_fc")(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = gelu(h)  # dtype-gated: bf16 sigmoid-form (fuses into mlp_proj), f32 exact erf
         h = nn.Dense(self.n_embd, kernel_init=normal_init(0.02), name="mlp_proj")(h)
         h = nn.Dropout(self.resid_pdrop)(h, deterministic=deterministic)
         return x + h, new_cache

@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .activations import gelu
+
 from .fourier import PositionEmbedding2DLearned
 from .init import normal_init, trunc_normal_init
 from .transformer import TransformerStack
@@ -49,7 +51,7 @@ class _BidirBlock(nn.Module):
         x = x + nn.Dropout(self.drop)(dense("proj")(y), deterministic=deterministic)
         h = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         h = nn.Dense(4 * c, kernel_init=trunc_normal_init(0.02), name="mlp_fc")(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = gelu(h)  # dtype-gated fast GELU (nn/activations.py)
         h = nn.Dense(c, kernel_init=trunc_normal_init(0.02), name="mlp_proj")(h)
         return x + nn.Dropout(self.drop)(h, deterministic=deterministic)
 
