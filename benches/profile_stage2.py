@@ -62,6 +62,42 @@ def main():
                                minval=-1, maxval=1)
     step = jax.jit(trainer.train_step, donate_argnums=(0,))
 
+    # DQVQ_PROFILE_HLO=1: map every `fusion.N` trace op to its root HLO
+    # instruction so the generic "fusion" bucket decomposes into what the
+    # elementwise work actually IS (dropout-mask applies, residual adds,
+    # dGELU, CE softmax, ...). The compiled module's fusion computation
+    # roots carry the answer; the trace only carries the fusion's name.
+    fusion_roots = {}
+    if os.environ.get("DQVQ_PROFILE_HLO", "0") == "1":
+        import re as _re
+
+        txt = (
+            step.lower(state, variables, x, x, jax.random.PRNGKey(3))
+            .compile()
+            .as_text()
+        )
+        # computation bodies are named `%fused_computation[.N]`; the fusion
+        # instruction that calls one is named `%fusion[.N]` and states
+        # calls=<computation>. Grab each fusion's called computation root.
+        comp_root = {}
+        cur = None
+        for ln in txt.splitlines():
+            m = _re.match(r"%?([\w.-]+) \(", ln.strip())
+            if ln and not ln.startswith(" ") and "{" in ln and m:
+                cur = m.group(1)
+            s = ln.strip()
+            if s.startswith("ROOT ") and cur:
+                # `ROOT %name = type op(...)`
+                mm = _re.match(r"ROOT %?[\w.-]+ = \S+ ([\w-]+)", s)
+                if mm:
+                    comp_root[cur] = mm.group(1)
+        for mm in _re.finditer(
+            r"%?(fusion[\w.]*) = (\S+) fusion\(.*?calls=%?([\w.-]+)", txt
+        ):
+            fusion_roots[mm.group(1)] = (
+                f"{comp_root.get(mm.group(3), '?')} {mm.group(2)}"
+            )
+
     for i in range(3):  # compile + warmup
         state, logs = step(state, variables, x, x, jax.random.PRNGKey(3 + i))
     float(logs["train_loss"])
@@ -150,6 +186,28 @@ def main():
     print(f"\n{'ms/step':>8}  {'%':>5}  top individual ops")
     for name, ps in by_op.most_common(15):
         print(f"{ps / 1e9 / nsteps:8.2f}  {100 * ps / total:5.1f}  {name[:90]}")
+
+    if fusion_roots:
+        by_root = collections.Counter()
+        n_root = collections.Counter()
+        unmatched = 0
+        for name, ps in by_op.items():
+            if not name.startswith("fusion"):
+                continue
+            root = fusion_roots.get(name)
+            if root is None:
+                unmatched += ps
+                continue
+            by_root[root] += ps
+            n_root[root] += 1
+        print(f"\n{'ms/step':>8}  {'%':>5}  {'n':>4}  fusion bucket by "
+              f"(root op, output shape)")
+        for root, ps in by_root.most_common(25):
+            print(f"{ps / 1e9 / nsteps:8.2f}  {100 * ps / total:5.1f}  "
+                  f"{n_root[root]:4}  {root[:100]}")
+        if unmatched:
+            print(f"{unmatched / 1e9 / nsteps:8.2f}  {100 * unmatched / total:5.1f}"
+                  f"     (trace fusion names not found in compiled HLO)")
     print(f"total device time: {total / 1e9 / nsteps:.1f} ms/step")
 
 
