@@ -91,6 +91,7 @@ def main():
         import subprocess
 
         subprocess.run([sys.executable, "benches/bench_all.py"], check=True)
+    extra = None
     if os.path.exists(extra_path):
         with open(extra_path) as f:
             extra = json.load(f)
@@ -103,16 +104,42 @@ def main():
         )
         line["extra_bench_rev"] = extra.get("git_rev")
     print(json.dumps(line))
-    # CI-style gate (VERDICT r02): the headline must stay >= 1.0x the
-    # 5x-A100 target. The JSON line above is already emitted for the
-    # driver; the nonzero exit makes a regression loud instead of a
-    # silently-recorded sub-1.0 multiple.
+    # CI-style gates (VERDICT r02 #encode, r03 #3: ALL THREE headline paths).
+    # The JSON line above is already emitted for the driver; the nonzero
+    # exit makes a regression loud instead of silently recorded.
+    failures = []
     if line["vs_baseline"] < 1.0:
-        print(
-            f"BENCH GATE FAILED: vs_baseline {line['vs_baseline']} < 1.0 "
-            f"({ips:.1f} img/s vs the {TARGET_MULTIPLE * A100_ENCODE_IPS_EST:.0f} target)",
-            file=sys.stderr,
+        failures.append(
+            f"encode vs_baseline {line['vs_baseline']} < 1.0 "
+            f"({ips:.1f} img/s vs the "
+            f"{TARGET_MULTIPLE * A100_ENCODE_IPS_EST:.0f} target)"
         )
+    # recorded anchors for the cached (bench_all.py) paths; a >10% drop
+    # below the anchor — or stale/absent extras — fails the gate
+    anchors = {"stage2_train_cached_ips": 76.8, "generation_ips": 17.5}
+    max_age_days = 21
+    if extra is None:
+        failures.append("artifacts/bench_extra.json missing — run "
+                        "benches/bench_all.py (or DQVQ_BENCH_FULL=1)")
+    else:
+        age_days = (time.time() - extra.get("unix_time", 0)) / 86400.0
+        if age_days > max_age_days:
+            failures.append(
+                f"bench_extra.json is {age_days:.0f} days old "
+                f"(rev {extra.get('git_rev')}) — refresh with "
+                f"benches/bench_all.py"
+            )
+        for key, anchor in anchors.items():
+            val = extra.get(key)
+            if val is None:
+                failures.append(f"{key} missing from bench_extra.json")
+            elif val < 0.9 * anchor:
+                failures.append(
+                    f"{key} {val} < 90% of anchor {anchor}"
+                )
+    if failures:
+        for f_ in failures:
+            print(f"BENCH GATE FAILED: {f_}", file=sys.stderr)
         sys.exit(1)
 
 

@@ -48,9 +48,10 @@ def main():
           file=sys.stderr)
 
     t0 = time.time()
+    # K=8 matches the product default (train.py cached-codes auto dispatch)
     s2c = _run("bench_train_stage2.py", {
-        "DQVQ_BENCH_S2_FLASH": "1", "DQVQ_BENCH_S2_STEPS_PER_CALL": "4",
-        "DQVQ_BENCH_S2_ITERS": "8", "DQVQ_BENCH_S2_CACHED": "1",
+        "DQVQ_BENCH_S2_FLASH": "1", "DQVQ_BENCH_S2_STEPS_PER_CALL": "8",
+        "DQVQ_BENCH_S2_ITERS": "6", "DQVQ_BENCH_S2_CACHED": "1",
     })
     results["stage2_train_cached_ips"] = s2c["value"]
     print(f"stage2 train (cached codes): {s2c['value']} img/s "

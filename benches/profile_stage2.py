@@ -71,20 +71,26 @@ def main():
     if os.environ.get("DQVQ_PROFILE_HLO", "0") == "1":
         import re as _re
 
-        txt = (
-            step.lower(state, variables, x, x, jax.random.PRNGKey(3))
-            .compile()
-            .as_text()
-        )
+        # compile ONCE via AOT and reuse the executable for the warmup/trace
+        # loop below — lower().compile() followed by step(...) would compile
+        # the program a second time (minutes of wasted wall-clock on TPU)
+        compiled = step.lower(state, variables, x, x, jax.random.PRNGKey(3)).compile()
+        txt = compiled.as_text()
+        step = compiled
         # computation bodies are named `%fused_computation[.N]`; the fusion
         # instruction that calls one is named `%fusion[.N]` and states
         # calls=<computation>. Grab each fusion's called computation root.
         comp_root = {}
         cur = None
         for ln in txt.splitlines():
-            m = _re.match(r"%?([\w.-]+) \(", ln.strip())
+            # computation headers may carry an `ENTRY ` prefix (`ENTRY %main
+            # (...)`); match it so ENTRY's ROOT doesn't get attributed to the
+            # previous computation
+            m = _re.match(r"(?:ENTRY )?%?([\w.-]+) \(", ln.strip())
             if ln and not ln.startswith(" ") and "{" in ln and m:
                 cur = m.group(1)
+            if ln and not ln.startswith(" ") and ln.strip() == "}":
+                cur = None  # computation closed; ignore stray ROOT lines
             s = ln.strip()
             if s.startswith("ROOT ") and cur:
                 # `ROOT %name = type op(...)`

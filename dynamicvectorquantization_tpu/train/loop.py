@@ -85,7 +85,8 @@ class Trainer:
         resume: bool = True,
         profile_steps: int = 0,
         accumulate_grad_batches: int = 1,
-        steps_per_dispatch: int = 1,
+        steps_per_dispatch: Optional[int] = None,
+        cached_codes: str = "auto",
         opt_sharding: bool = False,
         fsdp: bool = False,
         tp: int = 1,
@@ -116,7 +117,11 @@ class Trainer:
         self.pp = int(pp)
         self.pp_microbatches = int(pp_microbatches)
         if sum(a > 1 for a in (self.tp, self.sp, self.pp)) > 1:
-            raise ValueError("--tp/--sp/--pp are mutually exclusive axes")
+            raise ValueError(
+                "--tp/--sp/--pp are mutually exclusive axes (supported "
+                "matrix: dp x {tp|sp|pp} x {ZeRO-1|FSDP}; see "
+                "docs/PARALLELISM.md)"
+            )
         model_axis = (
             ("tp", self.tp) if self.tp > 1 else
             ("sp", self.sp) if self.sp > 1 else
@@ -148,7 +153,20 @@ class Trainer:
         # dispatch (trainer.train_steps lax.scan) — amortizes per-dispatch
         # host overhead. Logging/image cadence then ticks once per K steps;
         # trailing incomplete groups at epoch end are dropped (like accum).
-        self.steps_per_dispatch = int(steps_per_dispatch)
+        # None = auto: 4 on the stage-2 cached-codes path (token streams are
+        # cheap to group; measured dispatch-floor win), else 1.
+        self._steps_per_dispatch_auto = steps_per_dispatch is None
+        self.steps_per_dispatch = 1 if steps_per_dispatch is None else int(steps_per_dispatch)
+        # Cached-codes stage-2 training ("auto" | "on" | "off"): the first
+        # stage is frozen (reference `dqtransformer_uncond_entropy.py:86-91`),
+        # so each epoch's codes are computed ONCE in a bulk pre-encode pass
+        # (~16x the train rate) and the train steps consume pure token
+        # streams (`Dualformer.forward_tokens`) — the frozen conv encode
+        # leaves the hot step entirely. Augmentation semantics are unchanged:
+        # the pre-encode pass runs per epoch on that epoch's augmented
+        # stream. "auto" = on whenever accum == 1 (the cached scan path
+        # supports no microbatch axis).
+        self.cached_codes = cached_codes
         # reference --activate_ddp_share ("ddp_sharded" / ZeRO-1): shard the
         # adam moments over dp, keep params replicated
         self.opt_sharding = opt_sharding
@@ -506,6 +524,22 @@ class Trainer:
             # runs sharded via GSPMD instead
             fused_adamw=False if self.tp > 1 else None,
         )
+        use_cached = self.cached_codes == "on" or (
+            self.cached_codes == "auto" and self.accum == 1
+        )
+        if use_cached and self.accum != 1:
+            raise ValueError("--cached_codes on requires "
+                             "accumulate_grad_batches=1")
+        if self._steps_per_dispatch_auto and use_cached:
+            # token-stream steps group cheaply; K=8 amortizes the
+            # per-dispatch host floor (measured 59.9 -> 76.8 img/s at p6c18
+            # geometry, cached+flash+bf16, K=1 vs K=8 — the ~31 ms/step host
+            # dispatch drops to ~2 ms/step). Capped by the epoch's step
+            # budget so short/capped epochs still fill a dispatch group
+            # (trailing incomplete groups are dropped).
+            self.steps_per_dispatch = max(
+                1, min(8, model.steps_per_epoch or 8)
+            )
         # first stage weights from its config ckpt_path (reference embeds the
         # stage-1 ckpt under first_stage_config.params.ckpt_path)
         fs_model = model.first_stage_model
@@ -558,19 +592,38 @@ class Trainer:
 
         rng = jax.random.PRNGKey(self.seed + 1)
         start_epoch = int(state.epoch)
+        enc_fn = trainer.make_encode_fn(variables) if use_cached else None
         with PreemptionGuard() as guard:
             for epoch in range(start_epoch, self.max_epochs):
-                def _xc(batch):
-                    x = model.first_stage_model.get_input(batch, model.first_stage_key)
-                    if model.cond_stage_key == "class_label":
-                        return x, jnp.asarray(batch["class_label"])
-                    return x, x
+                vis = None
+                enc_secs = 0.0
+                if use_cached:
+                    t_enc = time.time()
+                    cached, vis = self._encode_epoch_codes(
+                        model, enc_fn, train_loader, epoch, b_sh
+                    )
+                    enc_secs = time.time() - t_enc
 
-                inputs = (
-                    _xc(batch)
-                    for batch in device_prefetch(train_loader.epoch(epoch), b_sh)
-                )
+                    def gen():
+                        for z, cc in cached:
+                            xz = {kk: jnp.asarray(v, jnp.int32)
+                                  for kk, v in z.items()}
+                            yield (xz, xz if cc is None else jnp.asarray(cc))
+
+                    inputs = gen()
+                else:
+                    def _xc(batch):
+                        x = model.first_stage_model.get_input(batch, model.first_stage_key)
+                        if model.cond_stage_key == "class_label":
+                            return x, jnp.asarray(batch["class_label"])
+                        return x, x
+
+                    inputs = (
+                        _xc(batch)
+                        for batch in device_prefetch(train_loader.epoch(epoch), b_sh)
+                    )
                 groups = self._group_steps(self._group_microbatches(inputs))
+                t0 = time.time()
                 for bi, (x, c) in enumerate(groups):
                     # optimizer-step units (see stage-1 loop note)
                     if (self.max_steps_per_epoch
@@ -581,19 +634,35 @@ class Trainer:
                     state, logs = step_fn(state, variables, x, c, sub)
                     if k > 1:  # per-step stacked logs -> last step's
                         logs = jax.tree_util.tree_map(lambda a: a[-1], logs)
-                        x, c = x[-1], c[-1]
                     if guard.should_stop:
                         self._emergency_save(mngr, state, guard.reason)
                         return state
                     if (bi * k) % self.log_every < k:
                         logs_np = {k_: float(v) for k_, v in logs.items()}
                         logs_np["lr"] = float(trainer.schedule(int(state.step)))
+                        leaf = jax.tree_util.tree_leaves(x)[0]
+                        bsz = leaf.shape[
+                            (1 if k > 1 else 0) + (1 if self.accum > 1 else 0)
+                        ]
+                        logs_np["images_per_sec"] = (
+                            k * self.accum * bsz * (bi + 1) / (time.time() - t0)
+                        )
+                        if enc_secs and bi == 0:
+                            logs_np["cache_encode_seconds"] = enc_secs
                         self.metrics.log(int(state.step), logs_np, "train")
                     if self.images.should_log(bi * k, k):
+                        if use_cached:
+                            x_img, c_img = vis
+                            c_img = x_img if c_img is None else c_img
+                        else:
+                            xl = x if k == 1 else jax.tree_util.tree_map(
+                                lambda a: a[-1], x)
+                            cl = c if k == 1 else jax.tree_util.tree_map(
+                                lambda a: a[-1], c)
+                            x_img = xl if self.accum == 1 else xl[0]
+                            c_img = cl if self.accum == 1 else cl[0]
                         self._log_stage2_images(
-                            model, variables, state,
-                            x if self.accum == 1 else x[0],
-                            c if self.accum == 1 else c[0],
+                            model, variables, state, x_img, c_img,
                             "train", int(state.step), epoch, bi,
                         )
                 state = state._replace(epoch=state.epoch + 1)
@@ -610,6 +679,43 @@ class Trainer:
                     " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items())
                 )
         return state
+
+    def _encode_epoch_codes(self, model, enc_fn, train_loader, epoch, b_sh):
+        """Cached-codes bulk pre-encode: one frozen-encoder pass over this
+        epoch's (augmented) batch stream at encoder throughput (~16x the
+        stage-2 train rate), yielding per-batch permuter-stream dicts.
+
+        Streams are held as int16 numpy (max code 1026): ~5 KB/image, so a
+        full ImageNet epoch is ~6 GB host RAM. Returns (list of
+        (stream dict, labels|None), (vis images, vis labels)) — the vis batch
+        feeds the image logger, which needs pixels, not tokens."""
+        cached = []
+        vis = None
+        limit = self.max_steps_per_epoch  # optimizer steps == batches here
+        pending = None  # overlap device_get with the next batch's encode
+        for bi, batch in enumerate(device_prefetch(train_loader.epoch(epoch), b_sh)):
+            if limit and bi >= limit:
+                break
+            x = model.first_stage_model.get_input(batch, model.first_stage_key)
+            z_dev = enc_fn(x)
+            c = (
+                np.asarray(batch["class_label"])
+                if model.cond_stage_key == "class_label" else None
+            )
+            if vis is None:
+                vis = (np.asarray(x[:4]), None if c is None else c[:4])
+            if pending is not None:
+                zp, cp = pending
+                zp = {k2: np.asarray(v).astype(np.int16)
+                      for k2, v in jax.device_get(zp).items()}
+                cached.append((zp, cp))
+            pending = (z_dev, c)
+        if pending is not None:
+            zp, cp = pending
+            zp = {k2: np.asarray(v).astype(np.int16)
+                  for k2, v in jax.device_get(zp).items()}
+            cached.append((zp, cp))
+        return cached, vis
 
     def _log_stage2_images(self, model, variables, state, x, c, split, gs,
                            epoch, bi):

@@ -273,17 +273,10 @@ class Stage2Trainer:
         (state, _), logs = jax.lax.scan(body, (state, params_c0), ins)
         return state, logs
 
-    def encode_dataset(self, variables, images, batch: int = 64):
-        """Images -> stacked permuter streams, once (cached-codes pipeline).
-
-        The first stage is frozen, so codes are immutable; caching removes
-        the frozen conv encode (~25 ms of the profiled 147 ms p6c18 step)
-        from every train step. Returns a dict of (N, L) numpy int arrays
-        usable as the `x` of `train_step`/`train_steps` (they dispatch on
-        dict inputs to `Dualformer.forward_tokens`).
-        """
-        import numpy as np
-
+    def make_encode_fn(self, variables):
+        """Jitted frozen-encode: images (B, H, W, 3) -> permuter stream dict
+        (the cached-codes pre-encode pass; same compute_dtype casts as the
+        inline train-step encode, so cached == inline losses)."""
         fs_vars = variables["first_stage"]
         if self.compute_dtype is not None:
             fs_vars = _cast_tree(fs_vars, self.compute_dtype)
@@ -295,6 +288,21 @@ class Stage2Trainer:
                 x = x.astype(self.compute_dtype)
             _, z = self.model.encode_to_z(v, x)
             return z
+
+        return enc
+
+    def encode_dataset(self, variables, images, batch: int = 64):
+        """Images -> stacked permuter streams, once (cached-codes pipeline).
+
+        The first stage is frozen, so codes are immutable; caching removes
+        the frozen conv encode (~25 ms of the profiled 147 ms p6c18 step)
+        from every train step. Returns a dict of (N, L) numpy int arrays
+        usable as the `x` of `train_step`/`train_steps` (they dispatch on
+        dict inputs to `Dualformer.forward_tokens`).
+        """
+        import numpy as np
+
+        enc = self.make_encode_fn(variables)
 
         outs = []
         for i in range(0, len(images), batch):

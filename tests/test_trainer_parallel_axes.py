@@ -48,6 +48,15 @@ def _dense_step(model, variables, z):
     return trainer, state0, rng, s_ref, logs_ref
 
 
+@pytest.fixture(scope="module")
+def dense_ref(dualformer):  # noqa: F811
+    """The dense reference step compiled ONCE for both the sp and pp
+    equivalence tests (suite-trim r04: each test used to recompile it)."""
+    model, variables = dualformer
+    z = _streams()
+    return (z,) + _dense_step(model, variables, z)
+
+
 def _assert_step_matches(s_ref, logs_ref, s_par, logs_par):
     for k in logs_ref:
         np.testing.assert_allclose(float(logs_par[k]), float(logs_ref[k]),
@@ -60,12 +69,12 @@ def _assert_step_matches(s_ref, logs_ref, s_par, logs_par):
                                    rtol=2e-4, atol=1e-4)
 
 
-def test_sp_trainer_step_matches_dense(dualformer):  # noqa: F811
+def test_sp_trainer_step_matches_dense(dualformer, dense_ref):  # noqa: F811
     if len(jax.devices()) < 4:
         pytest.skip("needs virtual multi-device mesh")
     model, variables = dualformer
-    z = _streams()  # T = 16: divides sp=2
-    trainer, state0, rng, s_ref, logs_ref = _dense_step(model, variables, z)
+    # T = 16: divides sp=2
+    z, trainer, state0, rng, s_ref, logs_ref = dense_ref
 
     from dynamicvectorquantization_tpu.parallel.stackgpt_sp import (
         stackgpt_train_losses_sp,
@@ -122,12 +131,11 @@ def test_sp_indivisible_sequence_raises(dualformer):  # noqa: F811
         model.transformer_train_apply = None
 
 
-def test_pp_trainer_step_matches_dense(dualformer):  # noqa: F811
+def test_pp_trainer_step_matches_dense(dualformer, dense_ref):  # noqa: F811
     if len(jax.devices()) < 4:
         pytest.skip("needs virtual multi-device mesh")
     model, variables = dualformer
-    z = _streams()
-    trainer, state0, rng, s_ref, logs_ref = _dense_step(model, variables, z)
+    z, trainer, state0, rng, s_ref, logs_ref = dense_ref
 
     from dynamicvectorquantization_tpu.parallel.stackgpt_pp import (
         stackgpt_train_losses_pp,

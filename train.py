@@ -43,11 +43,23 @@ def get_parser():
     p.add_argument("--max_steps_per_epoch", type=int, default=None,
                    help="cap steps (smoke runs)")
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
-    p.add_argument("--steps_per_dispatch", type=int, default=1,
+    p.add_argument("--steps_per_dispatch", type=int, default=None,
                    help="run K full optimizer steps per device dispatch "
                         "(lax.scan; amortizes host overhead — measured "
                         "28.9->37.6 img/s at K=4 on stage 2). Logging/image "
-                        "cadence ticks once per K steps")
+                        "cadence ticks once per K steps. Default: auto "
+                        "(4 on the stage-2 cached-codes path, else 1)")
+    p.add_argument("--cached_codes", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="stage-2 cached-codes training: bulk pre-encode each "
+                        "epoch's batches through the frozen first stage once "
+                        "(at encoder throughput), then train the transformer "
+                        "on pure token streams. auto = on when "
+                        "accumulate_grad_batches == 1. Loss-equivalent to "
+                        "per-step encoding (tested); augmentations still "
+                        "refresh every epoch")
+    p.add_argument("--log_every", type=int, default=50,
+                   help="train-metric logging cadence in optimizer steps")
     p.add_argument("--logtype", type=str, default="csv",
                    help="metric sinks: csv | tensorboard | wandb | all "
                         "(csv/jsonl always written)")
@@ -122,7 +134,10 @@ def main():
 
     n_devices = None if opt.devices in (-1, 0) else opt.devices
     if sum(a > 1 for a in (opt.tp, opt.sp, opt.pp)) > 1:
-        raise SystemExit("--tp/--sp/--pp are mutually exclusive axes")
+        raise SystemExit(
+            "--tp/--sp/--pp are mutually exclusive axes (supported matrix: "
+            "dp x {tp|sp|pp} x {ZeRO-1|FSDP}; see docs/PARALLELISM.md)"
+        )
     model_axis = (
         ("tp", opt.tp) if opt.tp > 1 else
         ("sp", opt.sp) if opt.sp > 1 else
@@ -172,6 +187,7 @@ def main():
         profile_steps=opt.profile_steps,
         accumulate_grad_batches=opt.accumulate_grad_batches,
         steps_per_dispatch=opt.steps_per_dispatch,
+        cached_codes=opt.cached_codes,
         opt_sharding=opt.activate_ddp_share,
         fsdp=opt.activate_fsdp,
         tp=opt.tp,
@@ -179,6 +195,7 @@ def main():
         pp=opt.pp,
         pp_microbatches=opt.pp_microbatches,
         logtype=opt.logtype,
+        log_every=opt.log_every,
     )
     do_train = str(opt.train).lower() not in ("false", "0", "no")
     with mesh:
