@@ -1,0 +1,135 @@
+"""Shared xplane-trace analysis for the profile_* tools.
+
+Parses a jax.profiler xplane dump directly via the tensorflow.tsl protos
+(the tensorboard_plugin_profile converter needs a protoc/pywrap pairing this
+image doesn't ship) and prints self-time rankings by hlo_category, op
+family, individual op, and — when a compiled HLO text is supplied — by
+fusion root op, so the generic "fusion" bucket decomposes into what the
+elementwise work actually IS.
+"""
+import collections
+import glob
+import json
+import os
+import re
+import sys
+
+
+def fusion_roots_from_hlo(txt):
+    """Map `fusion[.N]` instruction names -> 'rootop shape' using the
+    compiled module text (computation bodies are `%fused_computation[.N]`;
+    the calling instruction states calls=<computation>)."""
+    comp_root = {}
+    cur = None
+    for ln in txt.splitlines():
+        # computation headers may carry an `ENTRY ` prefix; match it so
+        # ENTRY's ROOT doesn't get attributed to the previous computation
+        m = re.match(r"(?:ENTRY )?%?([\w.-]+) \(", ln.strip())
+        if ln and not ln.startswith(" ") and "{" in ln and m:
+            cur = m.group(1)
+        if ln and not ln.startswith(" ") and ln.strip() == "}":
+            cur = None  # computation closed; ignore stray ROOT lines
+        s = ln.strip()
+        if s.startswith("ROOT ") and cur:
+            mm = re.match(r"ROOT %?[\w.-]+ = \S+ ([\w-]+)", s)
+            if mm:
+                comp_root[cur] = mm.group(1)
+    roots = {}
+    for mm in re.finditer(
+        r"%?(fusion[\w.]*) = (\S+) fusion\(.*?calls=%?([\w.-]+)", txt
+    ):
+        roots[mm.group(1)] = f"{comp_root.get(mm.group(3), '?')} {mm.group(2)}"
+    return roots
+
+
+def analyze(logdir, fusion_roots=None, min_step_ms=1.0):
+    """Find the newest xplane under logdir and print the op-time report."""
+    xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                        recursive=True)
+    if not xplanes:
+        print(json.dumps({"error": "no xplane captured", "logdir": logdir}))
+        return
+    xplane = max(xplanes, key=os.path.getmtime)
+    print(f"xplane: {xplane}", file=sys.stderr)
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(xplane, "rb") as f:
+        xs.ParseFromString(f.read())
+    planes = [
+        pl for pl in xs.planes
+        if pl.name.startswith("/device:") and pl.lines
+    ]
+    if not planes:
+        print(json.dumps({"error": "no device plane", "xplane": xplane}))
+        return
+    plane = next((pl for pl in planes if "TPU" in pl.name), planes[0])
+    md = plane.event_metadata
+    ops = next(l for l in plane.lines if l.name == "XLA Ops")
+    steps_line = next((l for l in plane.lines if l.name == "Steps"), None)
+    nsteps = (
+        sum(1 for e in steps_line.events
+            if e.duration_ps > min_step_ms * 1e9)
+        if steps_line is not None else 1
+    ) or 1
+
+    smd = plane.stat_metadata
+    cat_ids = {i for i, s in smd.items() if s.name == "hlo_category"}
+
+    by_op = collections.Counter()
+    by_family = collections.Counter()
+    n_family = collections.Counter()
+    by_cat = collections.Counter()
+    for e in ops.events:
+        m = md[e.metadata_id]
+        name = m.display_name or m.name
+        by_op[name] += e.duration_ps
+        fam = re.sub(r"[.\d]+$", "", name)
+        by_family[fam] += e.duration_ps
+        n_family[fam] += 1
+        cat = ""
+        for st in e.stats:
+            if st.metadata_id in cat_ids:
+                cat = st.str_value
+                break
+        by_cat[cat or "?"] += e.duration_ps
+    total = sum(by_op.values())
+
+    print(f"{'ms/step':>8}  {'%':>5}  hlo_category")
+    for cat, ps in by_cat.most_common(12):
+        print(f"{ps / 1e9 / nsteps:8.2f}  {100 * ps / total:5.1f}  {cat}")
+    print()
+
+    print(f"{'ms/step':>8}  {'%':>5}  {'n':>6}  op family "
+          f"({nsteps} real steps traced)")
+    for fam, ps in by_family.most_common(20):
+        print(f"{ps / 1e9 / nsteps:8.2f}  {100 * ps / total:5.1f}  "
+              f"{n_family[fam]:6}  {fam[:90]}")
+    print(f"\n{'ms/step':>8}  {'%':>5}  top individual ops")
+    for name, ps in by_op.most_common(15):
+        print(f"{ps / 1e9 / nsteps:8.2f}  {100 * ps / total:5.1f}  {name[:90]}")
+
+    if fusion_roots:
+        by_root = collections.Counter()
+        n_root = collections.Counter()
+        unmatched = 0
+        for name, ps in by_op.items():
+            if not name.startswith("fusion"):
+                continue
+            root = fusion_roots.get(name)
+            if root is None:
+                unmatched += ps
+                continue
+            by_root[root] += ps
+            n_root[root] += 1
+        print(f"\n{'ms/step':>8}  {'%':>5}  {'n':>4}  fusion bucket by "
+              f"(root op, output shape)")
+        for root, ps in by_root.most_common(25):
+            print(f"{ps / 1e9 / nsteps:8.2f}  {100 * ps / total:5.1f}  "
+                  f"{n_root[root]:4}  {root[:100]}")
+        if unmatched:
+            print(f"{unmatched / 1e9 / nsteps:8.2f}  "
+                  f"{100 * unmatched / total:5.1f}"
+                  f"     (trace fusion names not found in compiled HLO)")
+    print(f"total device time: {total / 1e9 / nsteps:.1f} ms/step")

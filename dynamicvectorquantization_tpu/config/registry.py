@@ -68,6 +68,12 @@ TARGET_ALIASES = {
     "modules.vqvae.quantize2.VectorQuantize2": f"{_PKG}.ops.vq.VectorQuantizeEMA",
     "modules.diffusionmodules.model.Encoder": f"{_PKG}.nn.vqgan_codec.VQGANEncoder",
     "modules.diffusionmodules.model.Decoder": f"{_PKG}.nn.vqgan_codec.VQGANDecoder",
+    # dead code in the reference (no config/import reaches them; r03 VERDICT
+    # footnote) — ported in nn/ddpm_unet.py so the inventory has no asterisks
+    "modules.diffusionmodules.model.Model": f"{_PKG}.nn.ddpm_unet.DDPMUNet",
+    "modules.diffusionmodules.model.VUNet": f"{_PKG}.nn.ddpm_unet.VUNet",
+    "modules.diffusionmodules.model.SimpleDecoder": f"{_PKG}.nn.ddpm_unet.SimpleDecoder",
+    "modules.diffusionmodules.model.UpsampleDecoder": f"{_PKG}.nn.ddpm_unet.UpsampleDecoder",
     "models.stage1.rqvae.RQModel": f"{_PKG}.models.vqgan.RQModel",
     "models.stage1.rqvae.VQModel": f"{_PKG}.models.vqgan.RQModel",
     # ---- legacy quantizers ----

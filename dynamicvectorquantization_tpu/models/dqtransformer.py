@@ -76,6 +76,8 @@ class Dualformer:
         first_stage_config,
         uncond_stage_config=None,
         cond_stage_config=None,
+        class_cond_stage_config=None,  # reference class config key
+                                       # (`configs/stage2/class_imagenet_p6c18.yml:83`)
         permuter_config=None,
         content_loss_weight=1.0,
         position_loss_weight=1.0,
@@ -93,7 +95,7 @@ class Dualformer:
         self.compute_dtype = compute_dtype
         # dropout PRNG backend, consumed by Stage2Trainer (see train/stage2.py)
         self.dropout_prng_impl = dropout_prng_impl
-        cond_cfg = uncond_stage_config or cond_stage_config
+        cond_cfg = uncond_stage_config or cond_stage_config or class_cond_stage_config
         self.transformer = instantiate_from_config(transformer_config)
         self.first_stage_model: DualGrainVQModel = instantiate_from_config(
             first_stage_config
@@ -162,6 +164,12 @@ class Dualformer:
             coarse_seg=jnp.zeros((b, lc), jnp.int32),
             fine_seg=jnp.ones((b, lf), jnp.int32),
         )
+        if getattr(self.transformer, "cross_attend_content", False):
+            # text cross-attention params must exist at init time
+            dummy["text_memory"] = jnp.zeros(
+                (b, 4, self.transformer.text_feature_dim), jnp.float32
+            )
+            dummy["text_mask"] = jnp.ones((b, 4), jnp.float32)
         tvars = self.transformer.init({"params": rng, "dropout": rng}, **dummy)
         return {"transformer": tvars, "first_stage": first_stage_variables}
 
@@ -195,7 +203,8 @@ class Dualformer:
         _, z = self.encode_to_z(variables, x)
         return self.forward_tokens(variables, z, c, train=train, rngs=rngs)
 
-    def forward_tokens(self, variables, z, c, train=False, rngs=None):
+    def forward_tokens(self, variables, z, c, train=False, rngs=None,
+                       text_memory=None, text_mask=None):
         """`forward` from PRE-ENCODED permuter streams `z` (the dict
         `encode_to_z` returns). The first stage is frozen, so its codes for a
         given image never change — a cached-codes pipeline encodes the
@@ -246,6 +255,9 @@ class Dualformer:
             fine_position_target=fine_position_target,
             train=train,
         )
+        if text_memory is not None:  # t2i consuming variant only
+            call_kwargs["text_memory"] = text_memory
+            call_kwargs["text_mask"] = text_mask
         if self.transformer_train_apply is not None:
             return self.transformer_train_apply(
                 variables["transformer"], call_kwargs, rngs
@@ -637,31 +649,58 @@ class Dualformer:
 class T2IDualformer(Dualformer):
     """Text-to-image variant (reference `dqtransformer_t2i.py:15-60`).
 
-    Faithful to the shipped reference: a frozen text encoder computes
-    features per caption and they are handed to StackGPT, whose forward
-    swallows them in ``**ignorekwargs`` (`stackgpt.py:175`) — i.e. the
-    shipped t2i model trains like the unconditional one while paying for
-    text encoding. Replicated + documented (QUIRKS.md); a cross-attention
-    consumer is future work, as it was for the reference.
+    Default (`use_text_conditioning=False`) is faithful to the shipped
+    reference: a frozen text encoder computes features per caption and they
+    are handed to StackGPT, whose forward swallows them in ``**ignorekwargs``
+    (`stackgpt.py:175`) — i.e. the shipped t2i model trains like the
+    unconditional one while paying for text encoding (QUIRKS #18).
+
+    `use_text_conditioning=True` is the CONSUMING variant the reference
+    never shipped: the content transformer cross-attends to the projected
+    text features (`nn/transformer.CrossAttention`; masked over caption
+    padding), so captions actually shift the logits
+    (`tests/test_t2i_crossattn.py`). Checkpoints of the default model are
+    unaffected — the extra params exist only when the flag is on.
     """
 
-    def __init__(self, text_encoder_config=None, **kwargs):
-        super().__init__(**kwargs)
-        self.cond_stage_key = "caption"
-        self.cond_stage_mask_key = "mask"
+    def __init__(self, text_encoder_config=None, use_text_conditioning=False,
+                 **kwargs):
         if text_encoder_config is None:
             from ..nn.text_encoders import HashTextEncoder
 
-            self.text_encoder = HashTextEncoder()
+            text_encoder = HashTextEncoder()
         else:
-            self.text_encoder = instantiate_from_config(text_encoder_config)
+            text_encoder = instantiate_from_config(text_encoder_config)
+        self.use_text_conditioning = bool(use_text_conditioning)
+        if self.use_text_conditioning:
+            import copy
+
+            kwargs["transformer_config"] = copy.deepcopy(
+                kwargs["transformer_config"]
+            )
+            tparams = kwargs["transformer_config"]["params"]
+            tparams["cross_attend_content"] = True
+            tparams.setdefault(
+                "text_feature_dim", getattr(text_encoder, "embed_dim", 512)
+            )
+        super().__init__(**kwargs)
+        self.cond_stage_key = "caption"
+        self.cond_stage_mask_key = "mask"
+        self.text_encoder = text_encoder
 
     def forward(self, variables, x, captions, train=False, rngs=None):
         # conditioning prefixes still come from the SOS provider; text
-        # features are computed (and ignored downstream, as in the reference)
+        # features are consumed via cross-attention when
+        # use_text_conditioning, else computed-and-dropped (reference parity)
         text_features, text_mask = self.text_encoder.encode_text(captions)
-        del text_features, text_mask
-        return super().forward(variables, x, x, train=train, rngs=rngs)
+        if not self.use_text_conditioning:
+            del text_features, text_mask
+            return super().forward(variables, x, x, train=train, rngs=rngs)
+        _, z = self.encode_to_z(variables, x)
+        return self.forward_tokens(
+            variables, z, z, train=train, rngs=rngs,
+            text_memory=text_features, text_mask=text_mask,
+        )
 
 
 class ClassCondDualformer(Dualformer):

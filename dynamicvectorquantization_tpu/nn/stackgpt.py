@@ -85,6 +85,12 @@ class StackGPT(nn.Module):
     # both stacks then use ring attention (parallel/ring_attention.py). Use
     # `parallel.stackgpt_sp.stackgpt_forward_sp` for the full orchestration.
     sequence_parallel_axis: str | None = None
+    # t2i CONSUMING variant (off = reference parity, QUIRKS #18): the content
+    # transformer cross-attends to projected text features passed as
+    # `text_memory` (B, S, text_feature_dim). Extra params (text_proj +
+    # per-block xattn) exist only when enabled.
+    cross_attend_content: bool = False
+    text_feature_dim: int = 512
 
     def setup(self):
         emb = lambda n, name: nn.Embed(
@@ -112,7 +118,23 @@ class StackGPT(nn.Module):
             name=name,
         )
         self.position_transformer = stack(self.position_layer, "position_transformer")
-        self.content_transformer = stack(self.content_layer, "content_transformer")
+        if self.cross_attend_content:
+            self.content_transformer = TransformerStack(
+                num_layers=self.content_layer,
+                n_embd=self.n_embd,
+                n_head=self.n_head,
+                attn_pdrop=self.attn_pdrop,
+                resid_pdrop=self.resid_pdrop,
+                use_flash_attention=self.use_flash_attention,
+                sequence_parallel_axis=self.sequence_parallel_axis,
+                cross_attend=True,
+                name="content_transformer",
+            )
+            self.text_proj = nn.Dense(
+                self.n_embd, kernel_init=normal_init(0.02), name="text_proj"
+            )
+        else:
+            self.content_transformer = stack(self.content_layer, "content_transformer")
 
         self.position_head_ln = FusedLayerNorm(epsilon=1e-5, name="position_head_ln")
         self.position_head = nn.Dense(
@@ -138,6 +160,8 @@ class StackGPT(nn.Module):
         coarse_position_target=None,
         fine_position_target=None,
         train: bool = False,
+        text_memory=None,
+        text_mask=None,
         **_,
     ):
         deterministic = not train
@@ -148,7 +172,8 @@ class StackGPT(nn.Module):
             coarse_seg, fine_seg, train=train,
         )
         out = self.forward_from_embeddings(
-            x, shifted_position_embeddings, attn_bias=attn_bias, train=train
+            x, shifted_position_embeddings, attn_bias=attn_bias, train=train,
+            text_memory=text_memory, text_mask=text_mask,
         )
         position_logits = out["position_logits"]
         content_logits = out["content_logits"]
@@ -261,7 +286,8 @@ class StackGPT(nn.Module):
         return x, shifted_position_embeddings, attn_bias
 
     def forward_from_embeddings(
-        self, x, shifted_position_embeddings, attn_bias=None, train: bool = False
+        self, x, shifted_position_embeddings, attn_bias=None, train: bool = False,
+        text_memory=None, text_mask=None,
     ):
         """Sharded-friendly half: both block stacks + heads. Everything here
         is elementwise along the sequence except attention itself, so under
@@ -270,10 +296,15 @@ class StackGPT(nn.Module):
         position_hidden, _ = self.position_transformer(
             x, deterministic=deterministic, attn_bias=attn_bias
         )
+        memory = None
+        if self.cross_attend_content and text_memory is not None:
+            memory = self.text_proj(text_memory.astype(x.dtype))
         content_hidden, _ = self.content_transformer(
             position_hidden + shifted_position_embeddings,
             deterministic=deterministic,
             attn_bias=attn_bias,
+            memory=memory,
+            memory_mask=text_mask,
         )
         content_logits = self.content_head(self.content_head_ln(content_hidden))
         position_logits = self.position_head(self.position_head_ln(position_hidden))
@@ -323,16 +354,23 @@ class StackGPT(nn.Module):
         logits = self.position_head(self.position_head_ln(hidden[:, 0]))
         return hidden, logits, cache
 
-    def content_step(self, position_hidden, next_pos_tok, is_fine: bool, cache: KVCache, index):
-        """One cached content-transformer step: input = hidden + emb(next pos)."""
+    def content_step(self, position_hidden, next_pos_tok, is_fine: bool, cache: KVCache, index,
+                     text_memory=None, text_mask=None):
+        """One cached content-transformer step: input = hidden + emb(next pos).
+        `text_memory` enables text-conditional decode under
+        `cross_attend_content` (memory k/v are short, recomputed per step)."""
         pe = (
             self.content_fine_pos_emb(next_pos_tok)
             if is_fine
             else self.content_coarse_pos_emb(next_pos_tok)
         )
         x = position_hidden + pe[:, None, :]
+        memory = None
+        if self.cross_attend_content and text_memory is not None:
+            memory = self.text_proj(text_memory.astype(x.dtype))
         hidden, cache = self.content_transformer(
-            x, deterministic=True, cache=cache, cache_index=index
+            x, deterministic=True, cache=cache, cache_index=index,
+            memory=memory, memory_mask=text_mask,
         )
         logits = self.content_head(self.content_head_ln(hidden[:, 0]))
         return logits, cache

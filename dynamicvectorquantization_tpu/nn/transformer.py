@@ -240,6 +240,37 @@ class CausalSelfAttention(nn.Module):
         return y, new_cache
 
 
+class CrossAttention(nn.Module):
+    """Queries from the token stream, keys/values from an external memory
+    (text features for the t2i consuming variant — no reference analog: the
+    reference's t2i model computes text features and drops them, see
+    QUIRKS #18). Memory is short (<= 77 tokens), so plain XLA attention."""
+
+    n_embd: int
+    n_head: int
+    resid_pdrop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, memory, memory_mask=None, deterministic=True):
+        b, t, c = x.shape
+        s = memory.shape[1]
+        hd = c // self.n_head
+        dense = lambda n, name: nn.Dense(n, kernel_init=normal_init(0.02), name=name)
+        q = dense(c, "query")(x).reshape(b, t, self.n_head, hd).transpose(0, 2, 1, 3)
+        k = dense(c, "key")(memory).reshape(b, s, self.n_head, hd).transpose(0, 2, 1, 3)
+        v = dense(c, "value")(memory).reshape(b, s, self.n_head, hd).transpose(0, 2, 1, 3)
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
+        if memory_mask is not None:  # (B, S) 1=valid
+            att = jnp.where(
+                memory_mask[:, None, None, :] > 0, att, jnp.finfo(att.dtype).min
+            )
+        att = jax.nn.softmax(att, axis=-1)
+        y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        y = y.transpose(0, 2, 1, 3).reshape(b, t, c)
+        y = dense(c, "proj")(y)
+        return nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
+
+
 class Block(nn.Module):
     n_embd: int
     n_head: int
@@ -247,6 +278,10 @@ class Block(nn.Module):
     resid_pdrop: float = 0.0
     use_flash_attention: bool = False
     sequence_parallel_axis: Optional[str] = None
+    # opt-in cross-attention to a text memory after self-attention (t2i
+    # consuming variant); params exist only when enabled, so checkpoints of
+    # the default model are unaffected
+    cross_attend: bool = False
 
     @nn.compact
     def __call__(
@@ -256,6 +291,8 @@ class Block(nn.Module):
         cache=None,
         cache_index=None,
         attn_bias=None,
+        memory=None,
+        memory_mask=None,
     ):
         attn_out, new_cache = CausalSelfAttention(
             self.n_embd,
@@ -273,6 +310,13 @@ class Block(nn.Module):
             attn_bias=attn_bias,
         )
         x = x + attn_out
+        if self.cross_attend and memory is not None:
+            x = x + CrossAttention(
+                self.n_embd, self.n_head, self.resid_pdrop, name="xattn"
+            )(
+                FusedLayerNorm(epsilon=1e-5, name="ln_x")(x),
+                memory, memory_mask, deterministic,
+            )
         h = FusedLayerNorm(epsilon=1e-5, name="ln2")(x)
         h = nn.Dense(4 * self.n_embd, kernel_init=normal_init(0.02), name="mlp_fc")(h)
         h = gelu(h)  # dtype-gated: bf16 sigmoid-form (fuses into mlp_proj), f32 exact erf
@@ -291,6 +335,7 @@ class TransformerStack(nn.Module):
     resid_pdrop: float = 0.0
     use_flash_attention: bool = False
     sequence_parallel_axis: Optional[str] = None
+    cross_attend: bool = False
 
     @nn.compact
     def __call__(
@@ -300,6 +345,8 @@ class TransformerStack(nn.Module):
         cache: Optional[KVCache] = None,
         cache_index=None,
         attn_bias=None,
+        memory=None,
+        memory_mask=None,
     ):
         new_layers = []
         for i in range(self.num_layers):
@@ -311,6 +358,7 @@ class TransformerStack(nn.Module):
                 self.resid_pdrop,
                 self.use_flash_attention,
                 self.sequence_parallel_axis,
+                self.cross_attend,
                 name=f"h_{i}",
             )(
                 x,
@@ -318,6 +366,8 @@ class TransformerStack(nn.Module):
                 cache=layer_cache,
                 cache_index=cache_index,
                 attn_bias=attn_bias,
+                memory=memory,
+                memory_mask=memory_mask,
             )
             if updated is not None:
                 new_layers.append(updated)

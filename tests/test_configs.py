@@ -27,6 +27,22 @@ def test_config_instantiates(path):
         assert model.loss is not None
 
 
+REF_CONFIGS = sorted(glob.glob("/root/reference/configs/*/*.yml"))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("path", REF_CONFIGS)
+def test_reference_shipped_configs_load_verbatim(path):
+    """The reference's OWN shipped YAMLs (untouched) must instantiate
+    through the registry — incl. the class config's
+    `class_cond_stage_config` key (`class_imagenet_p6c18.yml:83`)."""
+    if not REF_CONFIGS:
+        pytest.skip("reference repo not available")
+    cfg = load_config([path])
+    model = instantiate_from_config(cfg["model"])
+    assert model is not None
+
+
 def test_dotlist_override():
     path = os.path.join(REPO, "configs", "stage1", "dqvae-entropy-dual-r05_imagenet.yml")
     cfg = load_config([path], ["model.params.quant_after_dim=128", "data.params.batch_size=4"])
