@@ -16,10 +16,18 @@ import sys
 
 
 def fusion_roots_from_hlo(txt):
-    """Map `fusion[.N]` instruction names -> 'rootop shape' using the
+    """Map fusion instruction names -> 'rootop[+conv|+dot] shape' using the
     compiled module text (computation bodies are `%fused_computation[.N]`;
-    the calling instruction states calls=<computation>)."""
+    the calling instruction states calls=<computation>).
+
+    The +conv/+dot markers flag computations whose BODY contains a
+    convolution/dot: on TPU, XLA buries MXU work inside fusions whose root
+    is an elementwise/reduce op, so a root-only reading badly misattributes
+    time (r04 lesson: the encode path's 'convert_reduce' fusions that looked
+    like GroupNorm stats actually carried the conv MXU time — a GroupNorm
+    rewrite measured exactly neutral)."""
     comp_root = {}
+    comp_mxu = {}
     cur = None
     for ln in txt.splitlines():
         # computation headers may carry an `ENTRY ` prefix; match it so
@@ -30,15 +38,22 @@ def fusion_roots_from_hlo(txt):
         if ln and not ln.startswith(" ") and ln.strip() == "}":
             cur = None  # computation closed; ignore stray ROOT lines
         s = ln.strip()
+        if cur and re.search(r"= \S+ convolution\(", s):
+            comp_mxu[cur] = comp_mxu.get(cur, "") or "+conv"
+        elif cur and re.search(r"= \S+ dot\(", s):
+            comp_mxu.setdefault(cur, "+dot")
         if s.startswith("ROOT ") and cur:
             mm = re.match(r"ROOT %?[\w.-]+ = \S+ ([\w-]+)", s)
             if mm:
                 comp_root[cur] = mm.group(1)
     roots = {}
     for mm in re.finditer(
-        r"%?(fusion[\w.]*) = (\S+) fusion\(.*?calls=%?([\w.-]+)", txt
+        r"%?([\w.-]*fusion[\w.-]*) = (\S+) fusion\(.*?calls=%?([\w.-]+)", txt
     ):
-        roots[mm.group(1)] = f"{comp_root.get(mm.group(3), '?')} {mm.group(2)}"
+        comp = mm.group(3)
+        roots[mm.group(1)] = (
+            f"{comp_root.get(comp, '?')}{comp_mxu.get(comp, '')} {mm.group(2)}"
+        )
     return roots
 
 
@@ -113,23 +128,27 @@ def analyze(logdir, fusion_roots=None, min_step_ms=1.0):
     if fusion_roots:
         by_root = collections.Counter()
         n_root = collections.Counter()
-        unmatched = 0
+        unmatched = collections.Counter()
         for name, ps in by_op.items():
-            if not name.startswith("fusion"):
+            if "fusion" not in name:
                 continue
             root = fusion_roots.get(name)
             if root is None:
-                unmatched += ps
+                unmatched[name] += ps
                 continue
             by_root[root] += ps
             n_root[root] += 1
         print(f"\n{'ms/step':>8}  {'%':>5}  {'n':>4}  fusion bucket by "
-              f"(root op, output shape)")
+              f"(root op [+conv/+dot if the body holds MXU work], shape)")
         for root, ps in by_root.most_common(25):
             print(f"{ps / 1e9 / nsteps:8.2f}  {100 * ps / total:5.1f}  "
                   f"{n_root[root]:4}  {root[:100]}")
         if unmatched:
-            print(f"{unmatched / 1e9 / nsteps:8.2f}  "
-                  f"{100 * unmatched / total:5.1f}"
-                  f"     (trace fusion names not found in compiled HLO)")
+            ups = sum(unmatched.values())
+            print(f"{ups / 1e9 / nsteps:8.2f}  "
+                  f"{100 * ups / total:5.1f}"
+                  f"     (trace fusion names not found in compiled HLO; top:")
+            for name, ps in unmatched.most_common(8):
+                print(f"{'':>17}{ps / 1e9 / nsteps:8.2f}  {name[:80]}")
+            print(f"{'':>17})")
     print(f"total device time: {total / 1e9 / nsteps:.1f} ms/step")

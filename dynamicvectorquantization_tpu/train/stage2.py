@@ -304,9 +304,12 @@ class Stage2Trainer:
 
         enc = self.make_encode_fn(variables)
 
-        outs = []
-        for i in range(0, len(images), batch):
-            outs.append(jax.device_get(enc(jnp.asarray(images[i:i + batch]))))
+        # dispatch every batch before gathering any: enc() is async, so the
+        # host upload of batch i+1 overlaps the device encode of batch i
+        # (device_get inside the loop serialized a full round trip per batch)
+        pending = [enc(jnp.asarray(images[i:i + batch]))
+                   for i in range(0, len(images), batch)]
+        outs = [jax.device_get(p) for p in pending]
         return {k: np.concatenate([o[k] for o in outs], axis=0)
                 for k in outs[0]}
 

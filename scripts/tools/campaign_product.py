@@ -62,17 +62,36 @@ def build_jpeg_tree(root, n_train, n_val, n_classes, size, seed, quality=95):
     log(f"JPEG tree: {n_train}+{n_val} images in {time.time()-t0:.0f}s -> {root}")
 
 
-def run(cmd, env_extra=None, tag=""):
+def run(cmd, env_extra=None, tag="", resume_glob=None, retries=2):
+    """Run a leg; on failure of a train.py leg, retry with --resume into the
+    run dir it started (the axon TPU tunnel drops transiently — r04 saw
+    `remote_compile: response body closed` mid-campaign; orbax checkpoints +
+    --resume make the leg idempotent)."""
     env = dict(os.environ)
     env.update(env_extra or {})
-    log(f"run[{tag}]: {' '.join(cmd)}")
     t0 = time.time()
-    p = subprocess.run(cmd, env=env, cwd=REPO)
-    if p.returncode != 0:
-        raise SystemExit(f"{tag} failed with {p.returncode}")
-    dt = time.time() - t0
-    log(f"done[{tag}] in {dt:.0f}s")
-    return dt
+    attempt_cmd = list(cmd)
+    for attempt in range(retries + 1):
+        log(f"run[{tag}]{f' (retry {attempt})' if attempt else ''}: "
+            + " ".join(attempt_cmd))
+        p = subprocess.run(attempt_cmd, env=env, cwd=REPO)
+        if p.returncode == 0:
+            dt = time.time() - t0
+            log(f"done[{tag}] in {dt:.0f}s")
+            return dt
+        if attempt == retries or not resume_glob:
+            raise SystemExit(f"{tag} failed with {p.returncode}")
+        dirs = sorted(glob.glob(resume_glob))
+        if not dirs:
+            log(f"{tag} failed ({p.returncode}); no run dir yet — rerunning")
+            continue
+        rundir = dirs[-1]
+        log(f"{tag} failed ({p.returncode}); resuming {rundir}")
+        # strip --name/--logdir (resume re-derives them) and dotlist stays
+        base = [a for i, a in enumerate(cmd) if not (
+            a in ("--name", "--logdir")
+            or (i > 0 and cmd[i - 1] in ("--name", "--logdir")))]
+        attempt_cmd = base + ["--resume", rundir]
 
 
 def read_metrics(logdir):
@@ -156,7 +175,8 @@ def main():
              "model.params.encoderconfig.params.router_config.params."
              f"json_path={thr_json}",
              ] + common_data,
-            env, "stage1")
+            env, "stage1",
+            resume_glob=os.path.join(logroot, "s1-*"))
     s1_dir = sorted(glob.glob(os.path.join(logroot, "s1-*")))[-1]
     s1_ckpts = os.path.join(s1_dir, "checkpoints")
     s1_rows = read_metrics(s1_dir)
@@ -181,7 +201,8 @@ def main():
              "model.params.permuter_config.params.coarse_max_len=160",
              "model.params.permuter_config.params.fine_max_len=644",
              ] + common_data,
-            env, "stage2")
+            env, "stage2",
+            resume_glob=os.path.join(logroot, "s2-*"))
     s2_dir = sorted(glob.glob(os.path.join(logroot, "s2-*")))[-1]
     s2_rows = read_metrics(s2_dir)
     summary["s2_rate"] = rate_stats(s2_rows)

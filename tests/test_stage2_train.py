@@ -104,3 +104,20 @@ def test_mixed_precision_bf16_step(dualformer):  # noqa: F811
     # bf16 loss within bf16 resolution of the f32 loss at init
     assert abs(float(logs16["train_loss"]) - float(logs32["train_loss"])) \
         < 0.05 * max(1.0, abs(float(logs32["train_loss"])))
+
+
+def test_encode_dataset_pipelined_order_and_values(dualformer):  # noqa: F811
+    """encode_dataset (r04: dispatch-all-then-gather pipelining) returns the
+    same streams, in dataset order, as per-image encode_to_z."""
+    model, variables = dualformer
+    trainer = Stage2Trainer(model, learning_rate=1e-3, warmup_steps=0, max_steps=50)
+    images = np.asarray(jax.random.uniform(
+        jax.random.PRNGKey(7), (5, 64, 64, 3), minval=-1, maxval=1))
+    cached = trainer.encode_dataset(variables, images, batch=2)  # ragged tail
+    for i in range(len(images)):
+        _, z = model.encode_to_z(variables, jnp.asarray(images[i:i + 1]))
+        for k in z:
+            np.testing.assert_array_equal(
+                np.asarray(z[k])[0], cached[k][i],
+                err_msg=f"stream {k} image {i}",
+            )
