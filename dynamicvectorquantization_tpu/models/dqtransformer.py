@@ -298,24 +298,45 @@ class Dualformer:
         )
         log = {}
         r1, r2 = jax.random.split(rng)
-        out = self.sample_from_scratch(variables, *c, rng=r1,
-                                       fix_fine_position=True, **kw)
-        log["samples_fixed_fine_position"] = np.asarray(
-            self.decode_to_img(variables, *out)
+        # jit-cached samplers: called EAGERLY, sample_from_scratch's
+        # lax.while_loops close over the params as fresh constants each call
+        # -> a full ~2 min sampler recompile per image-log event (r04 campaign
+        # showed a 140 s stall every 48 steps). The cache keys on the static
+        # sampling knobs; jax.jit handles shape retraces.
+        sample_fix = self._jitted(
+            "sample_fix", lambda v, cs, r: self.decode_to_img(
+                v, *self.sample_from_scratch(
+                    v, *cs, rng=r, fix_fine_position=True, **kw)),
+            **kw,
         )
-        out = self.sample_from_scratch(variables, *c, rng=r2,
-                                       fix_fine_position=False, **kw)
-        log["samples_from_scratch"] = np.asarray(self.decode_to_img(variables, *out))
+        sample_free = self._jitted(
+            "sample_free", lambda v, cs, r: self.decode_to_img(
+                v, *self.sample_from_scratch(
+                    v, *cs, rng=r, fix_fine_position=False, **kw)),
+            **kw,
+        )
+        log["samples_fixed_fine_position"] = np.asarray(sample_fix(variables, c, r1))
+        log["samples_from_scratch"] = np.asarray(sample_free(variables, c, r2))
 
-        _, z = self.encode_to_z(variables, x)
-        log["inputs"] = np.asarray(x)
-        log["reconstructions"] = np.asarray(
-            self.decode_to_img(
-                variables, z["coarse_content"], z["fine_content"],
-                z["coarse_position"], z["fine_position"],
-            )
+        recon = self._jitted(
+            "recon", lambda v, xi: self.decode_to_img(
+                v, *(lambda z: (z["coarse_content"], z["fine_content"],
+                                z["coarse_position"], z["fine_position"]))(
+                    self.encode_to_z(v, xi)[1])),
         )
+        log["inputs"] = np.asarray(x)
+        log["reconstructions"] = np.asarray(recon(variables, x))
         return log
+
+    def _jitted(self, name, fn, **static_kw):
+        """Per-instance cache of jitted sampling/decode programs (see
+        log_images). Keyed on the call-site name + static kwargs; jax.jit
+        itself handles input-shape retraces."""
+        cache = self.__dict__.setdefault("_jit_programs", {})
+        key = (name,) + tuple(sorted(static_kw.items()))
+        if key not in cache:
+            cache[key] = jax.jit(fn)
+        return cache[key]
 
     # ------------------------------------------------------------- sampling
     def _apply_transformer(self, variables, method_name, *args, **kwargs):
