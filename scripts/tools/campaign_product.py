@@ -194,6 +194,11 @@ def main():
              "--base", "configs/stage2/uncond_imagenet_p6c18.yml",
              "--max_epochs", str(opt.s2_epochs), "--name", "s2",
              "--logdir", logroot, "--log_every", "8", "--seed", str(opt.seed),
+             # one grid per epoch: each image-log event SAMPLES (2 sampler
+             # programs + decode) and costs ~150 s over the axon tunnel even
+             # jit-cached — at the reference's default 50-step cadence that
+             # would dwarf the training itself on this host
+             "--image_log_every", "384",
              "model.params.first_stage_config.params."
              f"ckpt_path={s1_ckpts}",
              "model.params.first_stage_config.params.encoderconfig.params."

@@ -60,6 +60,12 @@ def get_parser():
                         "refresh every epoch")
     p.add_argument("--log_every", type=int, default=50,
                    help="train-metric logging cadence in optimizer steps")
+    p.add_argument("--image_log_every", type=int, default=50,
+                   help="image-grid logging cadence in optimizer steps "
+                        "(reference CaptionImageLogger batch_frequency=50, "
+                        "reference train.py:218; stage-2 grids SAMPLE, so on "
+                        "slow-dispatch hosts a larger value avoids paying "
+                        "generation per event)")
     p.add_argument("--logtype", type=str, default="csv",
                    help="metric sinks: csv | tensorboard | wandb | all "
                         "(csv/jsonl always written)")
@@ -196,6 +202,7 @@ def main():
         pp_microbatches=opt.pp_microbatches,
         logtype=opt.logtype,
         log_every=opt.log_every,
+        image_log_frequency=opt.image_log_every,
     )
     do_train = str(opt.train).lower() not in ("false", "0", "no")
     with mesh:
