@@ -753,30 +753,8 @@ class Trainer:
 
 
 def _load_first_stage(fs_model):
-    """Load stage-1 weights for the frozen first stage: orbax checkpoint
-    (a step dir saved by this Trainer, or a checkpoints/ root — latest step
-    picked) or a reference torch .ckpt
-    (reference `first_stage_config.params.ckpt_path`)."""
-    path = str(fs_model.ckpt_path)
-    if path.endswith((".ckpt", ".pth", ".pt")):
-        from ..utils.torch_ckpt import load_dqvae_checkpoint
+    """Shared with the sampling/serving loader (utils/model_loading.py) so
+    both resolve `first_stage_config.params.ckpt_path` identically."""
+    from ..utils.model_loading import load_first_stage_variables
 
-        return load_dqvae_checkpoint(path)
-    import orbax.checkpoint as ocp
-
-    path = os.path.abspath(path)
-    # accept the checkpoints/ root (pick latest step) and descend into the
-    # CheckpointManager item dir ("default")
-    if os.path.isdir(path) and not os.path.exists(os.path.join(path, "_METADATA")):
-        steps = sorted((d for d in os.listdir(path) if d.isdigit()), key=int)
-        if steps:
-            path = os.path.join(path, steps[-1])
-        if os.path.exists(os.path.join(path, "default", "_METADATA")):
-            path = os.path.join(path, "default")
-    restored = ocp.StandardCheckpointer().restore(path)
-    # Stage1State pytree (saved by train/loop.py) -> flax variables
-    if isinstance(restored, dict) and "ae_params" in restored:
-        return {"params": restored["ae_params"], "ema": restored["ema"]}
-    if isinstance(restored, (list, tuple)) and len(restored) >= 3:
-        return {"params": restored[0], "ema": restored[2]}
-    return restored
+    return load_first_stage_variables(fs_model)

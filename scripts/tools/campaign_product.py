@@ -143,7 +143,14 @@ def main():
     logroot = os.path.join(out, "logs")
     os.makedirs(out, exist_ok=True)
     env = {"DQVQ_IMAGENET_ROOT": data_root}
-    summary = {"args": vars(opt), "t_start": time.time()}
+    # Merge into an existing summary so a skip-flag re-run (e.g. redoing
+    # only the proxy_fid legs) preserves the recorded leg timings.
+    summary = {}
+    spath = os.path.join(out, "summary.json")
+    if os.path.exists(spath):
+        with open(spath) as f:
+            summary = json.load(f)
+    summary.update({"args": vars(opt), "t_start": time.time()})
 
     # 1. data
     if not opt.skip_data:
@@ -152,12 +159,15 @@ def main():
 
     # 2. entropy thresholds via the product offline tool
     thr_dir = os.path.join(out, "thresholds")
-    run([sys.executable, "scripts/tools/calculate_entropy_thresholds.py",
-         "--dataset", "imagenet", "--split", "train",
-         "--image_size", str(opt.image_size), "--out_dir", thr_dir],
-        env, "thresholds")
     thr_json = os.path.join(
         thr_dir, "entropy_thresholds_imagenet_train_patch-16.json")
+    if os.path.exists(thr_json):
+        log(f"thresholds: reusing {thr_json}")
+    else:
+        run([sys.executable, "scripts/tools/calculate_entropy_thresholds.py",
+             "--dataset", "imagenet", "--split", "train",
+             "--image_size", str(opt.image_size), "--out_dir", thr_dir],
+            env, "thresholds")
     assert os.path.exists(thr_json)
 
     # 3. stage 1 through train.py
@@ -234,12 +244,15 @@ def main():
     for step in kept:
         ck = os.path.join(s2_dir, "checkpoints", str(step))
         sdir = os.path.join(out, "samples", f"step_{step}")
-        run([sys.executable, "scripts/sample_val/sample_dynamic_uncond.py",
+        if glob.glob(os.path.join(sdir, "numpys", "*")):
+            log(f"sample@{step}: reusing existing {sdir}")
+        else:
+            run([sys.executable, "scripts/sample_val/sample_dynamic_uncond.py",
              "--yaml_path", merged_yaml, "--model_path", ck,
              "--save_path", sdir, "--batch_size", "32",
              "--sample_num", str(opt.sample_num),
              "--top_k", "300", "--top_k_pos", "1024", "--save_grids"],
-            env, f"sample@{step}")
+                env, f"sample@{step}")
         r = subprocess.run(
             [sys.executable, "scripts/tools/compute_fid.py",
              "--a", os.path.join(sdir, "numpys"),
@@ -250,10 +263,13 @@ def main():
         fid = None
         for ln in reversed(r.stdout.strip().splitlines()):
             try:
-                fid = json.loads(ln).get("proxy_fid")
-                break
+                obj = json.loads(ln)
             except json.JSONDecodeError:
                 continue
+            # compute_fid prints {"metric": "proxy_fid", "value": N}
+            fid = obj.get("value") if obj.get("metric") == "proxy_fid" \
+                else obj.get("proxy_fid")
+            break
         log(f"proxy_fid@{step}: {fid}")
         fid_curve.append({"step": step, "proxy_fid": fid})
     summary["s2_sample_proxy_fid"] = fid_curve
