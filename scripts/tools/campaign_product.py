@@ -277,8 +277,66 @@ def main():
     summary["t_total_seconds"] = round(time.time() - summary["t_start"], 0)
     with open(os.path.join(out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
+    _plot_curves(out, s1_rows, s2_rows, summary)
+    # keep a small committable copy of the run logs next to summary.json
+    # (the raw log dirs hold multi-GB orbax checkpoints and stay untracked)
+    import shutil
+
+    for tag, d in (("stage1", s1_dir), ("stage2", s2_dir)):
+        for n in ("metrics.jsonl", "argv.json"):
+            src = os.path.join(d, n)
+            if os.path.exists(src):
+                shutil.copyfile(src, os.path.join(out, f"{tag}_{n}"))
     log("summary written: " + os.path.join(out, "summary.json"))
     print(json.dumps(summary, indent=1))
+
+
+def _plot_curves(out, s1_rows, s2_rows, summary):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    def series(rows, split, key):
+        sel = [(r["step"], r[key]) for r in rows
+               if r["split"] == split and r.get(key) is not None]
+        return ([s for s, _ in sel], [v for _, v in sel])
+
+    fig, axes = plt.subplots(2, 3, figsize=(15, 8))
+    ax = axes[0, 0]
+    ax.plot(*series(s1_rows, "train", "train_rec_loss"), label="train_rec_loss")
+    ax.plot(*series(s1_rows, "val", "val_rec_loss"), "--o", ms=3,
+            label="val_rec_loss")
+    ax.set_xlabel("step"); ax.set_title("stage-1 reconstruction"); ax.legend(fontsize=8)
+    ax = axes[0, 1]
+    ax.plot(*series(s1_rows, "train", "images_per_sec"), label="s1 images/sec")
+    ax.set_xlabel("step"); ax.set_title("stage-1 rate (product loader)")
+    ax.legend(fontsize=8)
+    ax = axes[0, 2]
+    ax.plot(*series(s1_rows, "train", "train_fine_ratio"), label="fine_ratio")
+    ax.set_xlabel("step"); ax.set_title("dual-grain routing"); ax.legend(fontsize=8)
+    ax = axes[1, 0]
+    ax.plot(*series(s2_rows, "train", "train_loss"), label="train_loss")
+    ax.plot(*series(s2_rows, "val", "val_loss"), "--o", ms=3, label="val_loss")
+    ax.set_xlabel("step"); ax.set_title("stage-2 loss"); ax.legend(fontsize=8)
+    ax = axes[1, 1]
+    ax.plot(*series(s2_rows, "train", "images_per_sec"), label="s2 images/sec")
+    ax.set_xlabel("step"); ax.set_title("stage-2 rate (cached codes)")
+    ax.legend(fontsize=8)
+    ax = axes[1, 2]
+    fid = [r for r in summary.get("s2_sample_proxy_fid", [])
+           if r.get("proxy_fid") is not None]
+    if fid:
+        ax.plot([r["step"] for r in fid], [r["proxy_fid"] for r in fid],
+                "-o", ms=4, label="proxy_fid(samples, val)")
+        ax.set_xlabel("checkpoint step"); ax.set_title("sample quality proxy")
+        ax.legend(fontsize=8)
+    fig.suptitle("Campaign v2 — both stages through train.py + product data "
+                 "pipeline (synthetic ImageNet-layout JPEG tree)")
+    fig.tight_layout()
+    fig.savefig(os.path.join(out, "curves.png"), dpi=110)
+    plt.close(fig)
 
 
 if __name__ == "__main__":
