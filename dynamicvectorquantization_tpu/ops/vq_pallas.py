@@ -1,10 +1,13 @@
 """Fused Pallas TPU kernel for nearest-codebook vector quantization.
 
 One VMEM pass per tile of input rows computes: the L2 distance matrix against
-the whole codebook (MXU matmul), the argmin code index, the quantized vectors
-(one-hot @ codebook, again on the MXU, avoiding a gather), and — in the
-training variant — the per-cluster EMA statistics (one-hot.T @ x and cluster
-counts) accumulated across the sequential TPU grid.
+the whole codebook (MXU matmul) and the argmin code index. The INFERENCE
+variant stops there — the quantized vectors are a cheap XLA row gather
+(jnp.take) outside the kernel (r04: the in-kernel one-hot @ codebook matmul
+at Precision.HIGHEST doubled kernel FLOPs for an exact row selection). The
+TRAINING variant keeps the one-hot matmuls: it needs them anyway for the
+per-cluster EMA statistics (one-hot.T @ x and cluster counts) accumulated
+across the sequential TPU grid.
 
 This replaces the reference's three-step torch path (`torch.addmm` distance +
 `argmin` + embedding lookup, `modules/vector_quantization/quantize2_mask.py:
@@ -36,21 +39,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _vq_kernel_infer(x_ref, cb_ref, cb_norm_ref, idx_ref, xq_ref):
+def _vq_kernel_infer(x_ref, cb_ref, cb_norm_ref, idx_ref):
+    # idx only: the quantized vectors are a row gather the CALLER does with
+    # jnp.take — an HBM-bandwidth op (~0.1 ms for the headline geometry) vs
+    # the onehot @ codebook MXU matmul this kernel used through r03, which
+    # at Precision.HIGHEST (6-pass bf16) doubled the kernel's FLOPs for an
+    # exact row-selection. Also exactly preserves f32 codebook values, which
+    # the HIGHEST matmul did too but a cheaper matmul would not.
     x = x_ref[:]  # (TN, D)
     scores = cb_norm_ref[:] - 2.0 * jnp.dot(
         x, cb_ref[:].T, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )  # (TN, K)
-    idx = jnp.argmin(scores, axis=1).astype(jnp.int32)  # (TN,)
-    idx_ref[:] = idx[:, None]
-    k = scores.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], k), 1)
-    onehot = (col == idx[:, None]).astype(jnp.float32)  # (TN, K)
-    xq_ref[:] = jnp.dot(
-        onehot, cb_ref[:], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    idx_ref[:] = jnp.argmin(scores, axis=1).astype(jnp.int32)[:, None]
 
 
 def _vq_kernel_train(x_ref, cb_ref, cb_norm_ref, idx_ref, xq_ref, esum_ref, csize_ref):
@@ -98,13 +99,15 @@ def _pallas_nearest(x: jnp.ndarray, codebook: jnp.ndarray, with_stats: bool):
 
     out_shapes = [
         jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-        jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
     ]
     out_specs = [
         pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     if with_stats:
+        out_shapes.insert(1, jax.ShapeDtypeStruct((n_pad, d), jnp.float32))
+        out_specs.insert(
+            1, pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
         out_shapes += [
             jax.ShapeDtypeStruct((k, d), jnp.float32),
             jax.ShapeDtypeStruct((k, 1), jnp.float32),
@@ -126,21 +129,21 @@ def _pallas_nearest(x: jnp.ndarray, codebook: jnp.ndarray, with_stats: bool):
         out_specs=out_specs,
         out_shape=out_shapes,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * k * d * 2,
+            flops=2 * n_pad * k * d * (2 if with_stats else 1),
             bytes_accessed=n_pad * d * 8 + k * d * 4,
             transcendentals=0,
         ),
     )(x, codebook, cb_norm)
 
     idx = outs[0][:n, 0]
+    if not with_stats:
+        return idx, jnp.take(codebook, idx, axis=0)
     xq = outs[1][:n]
-    if with_stats:
-        cluster_size = outs[3][:, 0]
-        if n_pad != n:
-            pad_idx = jnp.argmin(jnp.sum(codebook * codebook, axis=1))
-            cluster_size = cluster_size.at[pad_idx].add(-(n_pad - n))
-        return idx, xq, outs[2], cluster_size
-    return idx, xq
+    cluster_size = outs[3][:, 0]
+    if n_pad != n:
+        pad_idx = jnp.argmin(jnp.sum(codebook * codebook, axis=1))
+        cluster_size = cluster_size.at[pad_idx].add(-(n_pad - n))
+    return idx, xq, outs[2], cluster_size
 
 
 def nearest_codes_xla(x: jnp.ndarray, codebook: jnp.ndarray):

@@ -166,3 +166,15 @@ def test_pallas_interpret_matches_xla(np_rng):
     np.testing.assert_allclose(np.asarray(xq), np.asarray(xq_ref), rtol=1e-5, atol=1e-5)
     want_csize = np.bincount(np.asarray(idx_ref), minlength=128).astype(np.float32)
     np.testing.assert_allclose(np.asarray(csize), want_csize)
+
+    # INFER variant (r04: idx-only kernel + external row gather), including a
+    # non-tile-aligned N that exercises the zero-row padding path.
+    for n in (1024, 1000):
+        with pltpu.force_tpu_interpret_mode():
+            idx_i, xq_i = nearest_codes(x[:n], cb, use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(idx_i), np.asarray(idx_ref[:n]))
+        # the gather returns codebook rows EXACTLY (bit-equal), stronger than
+        # the train variant's matmul-selected rows
+        np.testing.assert_array_equal(
+            np.asarray(xq_i), np.asarray(cb)[np.asarray(idx_ref[:n])]
+        )
