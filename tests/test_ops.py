@@ -47,6 +47,27 @@ def test_patch_entropy_matches_reference_semantics(np_rng):
     assert e_noisy.mean() > e_flat.mean() + 1.0
 
 
+def test_patch_entropy_pallas_matches_xla(np_rng):
+    """The fused TPU entropy kernel (interpret mode) vs the XLA fallback,
+    at the flagship geometry's tiling (W % 128 == 0)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    imgs = np_rng.uniform(-1, 1, size=(2, 128, 128, 3)).astype(np.float32)
+    want = np.asarray(patch_entropy(jnp.asarray(imgs), use_pallas=False))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(patch_entropy(jnp.asarray(imgs), use_pallas=True))
+    assert got.shape == want.shape == (2, 8, 8)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # non-default patch size / bin range (the offline threshold-table
+    # convention) rides the same kernel
+    want2 = np.asarray(patch_entropy(
+        jnp.asarray(imgs), patch_size=8, bin_range=(0.0, 1.0), use_pallas=False))
+    with pltpu.force_tpu_interpret_mode():
+        got2 = np.asarray(patch_entropy(
+            jnp.asarray(imgs), patch_size=8, bin_range=(0.0, 1.0), use_pallas=True))
+    np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-5)
+
+
 def test_nearest_codes_xla_correct(np_rng):
     x = jnp.asarray(np_rng.normal(size=(37, 16)).astype(np.float32))
     cb = jnp.asarray(np_rng.normal(size=(50, 16)).astype(np.float32))
