@@ -93,22 +93,34 @@ class PrefetchLoader:
         return self.epoch(0)
 
 
-def device_prefetch(iterator, sharding=None, depth=2):
-    """Move batches to device ahead of consumption (double-buffering)."""
+def device_prefetch(iterator, sharding=None, depth=2, timings=None):
+    """Move batches to device ahead of consumption (double-buffering).
+
+    `timings`: optional dict accumulating host seconds spent issuing the
+    device_put transfers under key "transfer" (loop-bucket attribution)."""
     import jax
+    import time
 
     buf = []
     def put(b):
+        t0 = time.perf_counter()
         if sharding is not None:
-            return jax.tree_util.tree_map(
+            out = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, sharding)
                 if isinstance(x, np.ndarray)
                 else x,
                 b,
             )
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x, b
-        )
+        else:
+            out = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x,
+                b,
+            )
+        if timings is not None:
+            timings["transfer"] = (
+                timings.get("transfer", 0.0) + time.perf_counter() - t0
+            )
+        return out
 
     it = iter(iterator)
     try:

@@ -49,34 +49,40 @@ def compute_statistics(batches: Iterable[np.ndarray], feature_fn: Callable):
 
 
 def inception_feature_fn(weights_path: str | None = None):
-    """InceptionV3 pool3 (2048-d) features via torchvision, CPU.
+    """InceptionV3 pool3 (2048-d) features, CPU torch.
 
-    torchvision is optional in this image; without it (or without local
-    weights) this raises with instructions instead of producing meaningless
-    random-feature FID."""
+    Uses torchvision's `inception_v3` when importable; otherwise the bundled
+    torchvision-state_dict-compatible implementation
+    (`eval/inception_torch.py`) — this image ships torch but not
+    torchvision, so the bundled trunk is what makes a weights-mounted day
+    need ONLY the weights file. Without local weights this raises instead of
+    producing meaningless random-feature FID."""
     import torch
 
-    try:
-        from torchvision.models import inception_v3
-    except ImportError as e:
-        raise ImportError(
-            "FID feature extraction needs torchvision (not in this image). "
-            "Install it or plug a custom feature_fn into fid_between()/"
-            "compute_statistics()."
-        ) from e
-
     weights_path = weights_path or os.environ.get("DQVQ_INCEPTION_WEIGHTS")
-    model = inception_v3(weights=None, aux_logits=True, init_weights=False)
-    if weights_path and os.path.exists(weights_path):
-        sd = torch.load(weights_path, map_location="cpu")
-        model.load_state_dict(sd, strict=False)
-    else:
+    if not (weights_path and os.path.exists(weights_path)):
         raise FileNotFoundError(
             "InceptionV3 weights required for meaningful FID. Set "
             "DQVQ_INCEPTION_WEIGHTS to a local torchvision inception_v3 "
             "state_dict (zero-egress environment cannot download them)."
         )
-    model.fc = torch.nn.Identity()
+    try:
+        from torchvision.models import inception_v3
+
+        model = inception_v3(weights=None, aux_logits=True, init_weights=False)
+        if not isinstance(model, torch.nn.Module):
+            # a stubbed torchvision (tests stub it to import the reference
+            # code) imports fine but returns a dummy — fall back
+            raise ImportError("torchvision.models.inception_v3 is a stub")
+        sd = torch.load(weights_path, map_location="cpu")
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        model.load_state_dict(sd, strict=False)
+        model.fc = torch.nn.Identity()
+    except ImportError:
+        from .inception_torch import load_inception
+
+        model = load_inception(weights_path)
     model.eval()
 
     def feature_fn(images_nhwc):

@@ -74,6 +74,14 @@ def patch_entropy(
             os.environ.get("DQVQ_PALLAS_ENTROPY") == "1"
             and jax.default_backend() == "tpu"
         )
+    elif use_pallas and not (w % 128 == 0 and h % 8 == 0):
+        # an EXPLICIT use_pallas=True must not silently run the XLA path —
+        # offline callers would believe they benchmarked the kernel
+        raise ValueError(
+            f"patch_entropy use_pallas=True needs W % 128 == 0 and "
+            f"H % 8 == 0 (TPU lane/sublane tiling); got H={h}, W={w}. "
+            "Pass use_pallas=None to auto-select."
+        )
     use_pallas = use_pallas and w % 128 == 0 and h % 8 == 0
     gray = (
         _GRAY[0] * images[..., 0]
@@ -113,8 +121,9 @@ def _entropy_kernel(gray_ref, out_ref, *, p, num_bins, lo, delta, inv_sigma):
     Per-patch pixel sums are two tiny MXU matmuls against block-diagonal
     0/1 selectors (built from iota, constant-folded) — this sidesteps the
     (rows, patch, cols) reshape that would otherwise split the lane
-    dimension. Bins are processed in chunks of 8 so the (chunk, H, W)
-    exp transient stays ~2 MB of VMEM at 256^2.
+    dimension. The bin loop is fully unrolled (static Python loop over
+    `num_bins`); each iteration's (H, W) exp transient is ~256 KB of VMEM
+    at 256^2, freed per iteration by Mosaic's liveness analysis.
     """
     x = gray_ref[0]  # (H, W) f32
     hh, ww = x.shape

@@ -49,6 +49,37 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def make_mesh_multihost(n_hosts: int | None = None,
+                        per_host: int | None = None) -> Mesh:
+    """("dcn", "dp") mesh for multi-host pods (SURVEY.md §2.10's DCN axis).
+
+    Outer axis spans hosts (data-center network), inner axis spans each
+    host's chips (ICI). Shardings that matter for performance follow the
+    topology: the batch shards over BOTH axes (pure data parallelism, so
+    the only cross-host traffic is the gradient all-reduce, which XLA
+    lowers hierarchically — reduce-scatter over ICI, then the small
+    cross-host hop over DCN); optimizer-state sharding (ZeRO-1/FSDP)
+    stays on the "dp" axis only, so its all-gathers ride ICI and never
+    touch DCN.
+
+    On a real pod: call `jax.distributed.initialize()` first (one process
+    per host), then this builds the (process_count, local_device_count)
+    mesh from the global device list. Single-process (tests, the driver's
+    virtual-CPU dryrun) it reshapes local devices into the same named
+    topology — the compiled SPMD program is identical, which is exactly
+    what makes the dryrun a faithful rehearsal.
+    """
+    if n_hosts is None:
+        n_hosts = max(jax.process_count(), 1)
+    devices = jax.devices()
+    if per_host is None:
+        per_host = len(devices) // n_hosts
+    devices = np.asarray(devices[: n_hosts * per_host]).reshape(
+        n_hosts, per_host
+    )
+    return Mesh(devices, ("dcn", "dp"))
+
+
 def make_mesh_2d(n_dp: int, n_tp: int, axis2: str = "tp") -> Mesh:
     """(dp, <axis2>) mesh for the stage-2 model-parallel axes (tp default;
     "sp"/"pp" for `train.py --sp/--pp`). On real pods lay the model axis on

@@ -153,7 +153,7 @@ class Trainer:
         # dispatch (trainer.train_steps lax.scan) — amortizes per-dispatch
         # host overhead. Logging/image cadence then ticks once per K steps;
         # trailing incomplete groups at epoch end are dropped (like accum).
-        # None = auto: 4 on the stage-2 cached-codes path (token streams are
+        # None = auto: 8 on the stage-2 cached-codes path (token streams are
         # cheap to group; measured dispatch-floor win), else 1.
         self._steps_per_dispatch_auto = steps_per_dispatch is None
         self.steps_per_dispatch = 1 if steps_per_dispatch is None else int(steps_per_dispatch)
@@ -261,17 +261,37 @@ class Trainer:
                 yield jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *buf)
                 buf = []
 
-    def _group_steps(self, gen):
+    def _group_steps(self, gen, timings=None):
         """Stack groups of `steps_per_dispatch` step inputs to (K, ...);
-        pass-through at K=1."""
+        pass-through at K=1.
+
+        numpy leaves stack on the HOST (np.stack — no device round trip);
+        device leaves stack with jnp.stack. The cached-codes path feeds
+        numpy so a whole dispatch group becomes one `device_put` per stream
+        downstream instead of K per-batch transfers plus an on-device stack
+        (r04's committed campaign lost ~33% of the benched rate to exactly
+        this per-group host/tunnel chatter)."""
         if self.steps_per_dispatch == 1:
             yield from gen
             return
+
+        def stack(*xs):
+            if isinstance(xs[0], np.ndarray):
+                return np.stack(xs)
+            return jnp.stack(xs)
+
         buf = []
         for item in gen:
             buf.append(item)
             if len(buf) == self.steps_per_dispatch:
-                yield jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *buf)
+                t0 = time.perf_counter()
+                out = jax.tree_util.tree_map(stack, *buf)
+                if timings is not None:
+                    timings["assemble"] = (
+                        timings.get("assemble", 0.0)
+                        + time.perf_counter() - t0
+                    )
+                yield out
                 buf = []
 
     def _maybe_profile(self, global_step: int):
@@ -388,7 +408,12 @@ class Trainer:
                                       param_fields=("ae_params", "loss_params"))
         if st_sh is not None:
             state = jax.device_put(state, st_sh)
-        step_fn = jax.jit(trainer.train_steps if k > 1 else trainer.train_step,
+        # per-step PRNG derives inside the jit from a constant base key +
+        # state.step (see the stage-2 loop note; removes a host dispatch
+        # per iteration)
+        inner1 = trainer.train_steps if k > 1 else trainer.train_step
+        step_fn = jax.jit(lambda s, x, base: inner1(
+                              s, x, jax.random.fold_in(base, s.step)),
                           in_shardings=(st_sh, x_sh, None),
                           out_shardings=(st_sh, None) if st_sh else None,
                           donate_argnums=(0,))
@@ -403,61 +428,112 @@ class Trainer:
             print("eval: " + " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items()))
             return state
 
-        rng = jax.random.PRNGKey(self.seed + 1)
+        rng_base = jax.random.PRNGKey(self.seed + 1)
+        gs = int(state.step)  # host-side step mirror (see stage-2 loop note)
         start_epoch = int(state.epoch)
+        buckets = {}
+        t_fit = time.perf_counter()
         with PreemptionGuard() as guard:
             for epoch in range(start_epoch, self.max_epochs):
                 t0 = time.time()
                 inputs = (
                     model.get_input(batch, model.image_key)
-                    for batch in device_prefetch(train_loader.epoch(epoch), b_sh)
+                    for batch in device_prefetch(train_loader.epoch(epoch),
+                                                 b_sh, timings=buckets)
                 )
-                groups = self._group_steps(self._group_microbatches(inputs))
-                for bi, x in enumerate(groups):
+                groups = self._group_steps(
+                    self._group_microbatches(inputs), timings=buckets
+                )
+                pending = None  # lag-one metric flush (see stage-2 loop)
+
+                def _flush(p):
+                    t_s = time.perf_counter()
+                    gs_p, logs_p, ips = p
+                    if k > 1:  # per-step stacked logs -> last step's
+                        logs_p = jax.tree_util.tree_map(
+                            lambda a: a[-1], logs_p)
+                    logs_np = {k_: float(v) for k_, v in logs_p.items()}
+                    logs_np["images_per_sec"] = ips
+                    # reference LearningRateMonitor (train.py:207-213)
+                    logs_np["lr"] = float(trainer.ae_schedule(gs_p))
+                    self.metrics.log(gs_p, logs_np, "train")
+                    buckets["log_sync"] = (
+                        buckets.get("log_sync", 0.0)
+                        + time.perf_counter() - t_s
+                    )
+
+                it = iter(groups)
+                bi = -1
+                while True:
+                    t_p = time.perf_counter()
+                    try:
+                        x = next(it)
+                    except StopIteration:
+                        break
+                    buckets["pull"] = (
+                        buckets.get("pull", 0.0) + time.perf_counter() - t_p
+                    )
+                    bi += 1
                     # cadences/budgets are in OPTIMIZER steps: with
                     # steps_per_dispatch K>1 each iteration advances K steps
                     if (self.max_steps_per_epoch
                             and bi * k >= self.max_steps_per_epoch):
                         break
-                    rng, sub = jax.random.split(rng)
-                    self._maybe_profile(int(state.step))
-                    state, logs = step_fn(state, x, sub)
-                    if k > 1:  # per-step stacked logs -> last step's
-                        logs = jax.tree_util.tree_map(lambda a: a[-1], logs)
-                        x = x[-1]
+                    self._maybe_profile(gs)
+                    t_d = time.perf_counter()
+                    state, logs = step_fn(state, x, rng_base)
+                    buckets["dispatch"] = (
+                        buckets.get("dispatch", 0.0)
+                        + time.perf_counter() - t_d
+                    )
+                    gs += k
+                    if pending is not None:
+                        _flush(pending)
+                        pending = None
                     if guard.should_stop:
                         self._emergency_save(mngr, state, guard.reason)
                         return state
-                    gs = int(state.step)
-                    x_vis = x if self.accum == 1 else x[0]
+                    bsz = x.shape[(1 if k > 1 else 0)
+                                  + (1 if self.accum > 1 else 0)]
                     if (bi * k) % self.log_every < k:
-                        logs_np = {k_: float(v) for k_, v in logs.items()}
-                        logs_np["images_per_sec"] = (
-                            k * self.accum * x_vis.shape[0] * (bi + 1)
-                            / (time.time() - t0)
+                        ips = (
+                            k * self.accum * bsz * (bi + 1)
+                            / max(time.time() - t0, 1e-9)
                         )
-                        # reference LearningRateMonitor (train.py:207-213)
-                        logs_np["lr"] = float(trainer.ae_schedule(gs))
-                        self.metrics.log(gs, logs_np, "train")
+                        pending = (gs, logs, ips)
                     if self.images.should_log(bi * k, k):
+                        t_i = time.perf_counter()
+                        xl = x if k == 1 else x[-1]
+                        x_vis = xl if self.accum == 1 else xl[0]
                         self._log_stage1_images(model, forward_fn, state, x_vis,
                                                 "train", gs, epoch, bi)
+                        buckets["image_log"] = (
+                            buckets.get("image_log", 0.0)
+                            + time.perf_counter() - t_i
+                        )
+                if pending is not None:
+                    _flush(pending)
                 state = state._replace(epoch=state.epoch + 1)
 
+                t_v = time.perf_counter()
                 val_metrics = self._validate_stage1(model, data, eval_fn, state)
-                self.metrics.log(int(state.step), val_metrics, "val")
+                self.metrics.log(gs, val_metrics, "val")
                 import orbax.checkpoint as ocp
 
                 mngr.save(
-                    int(state.step),
+                    gs,
                     args=ocp.args.StandardSave(state),
                     metrics={k: float(v) for k, v in val_metrics.items()},
                 )
                 mngr.wait_until_finished()
+                buckets["val_ckpt"] = (
+                    buckets.get("val_ckpt", 0.0) + time.perf_counter() - t_v
+                )
                 print(
                     f"epoch {epoch}: " +
                     " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items())
                 )
+        self._write_buckets(buckets, time.perf_counter() - t_fit, gs)
         return state
 
     def _validate_stage1(self, model, data, eval_fn, state):
@@ -530,6 +606,28 @@ class Trainer:
         if use_cached and self.accum != 1:
             raise ValueError("--cached_codes on requires "
                              "accumulate_grad_batches=1")
+        # cached token streams carry image codes (+ class labels) only; any
+        # other conditioning — notably T2IDualformer with
+        # use_text_conditioning=True — would silently train without its
+        # condition (ADVICE r04). Refuse explicit "on"; downgrade "auto".
+        if use_cached and (
+            model.cond_stage_key not in ("image", "class_label")
+            or getattr(model, "use_text_conditioning", False)
+        ):
+            if self.cached_codes == "on":
+                raise ValueError(
+                    "--cached_codes on supports image/class_label "
+                    f"conditioning only (cond_stage_key="
+                    f"{model.cond_stage_key!r}, use_text_conditioning="
+                    f"{getattr(model, 'use_text_conditioning', False)}); "
+                    "text features are not cached alongside token streams"
+                )
+            print(
+                "cached_codes auto: OFF — "
+                f"cond_stage_key={model.cond_stage_key!r} needs per-step "
+                "conditioning"
+            )
+            use_cached = False
         if self._steps_per_dispatch_auto and use_cached:
             # token-stream steps group cheaply; K=8 amortizes the
             # per-dispatch host floor (measured 59.9 -> 76.8 img/s at p6c18
@@ -571,17 +669,23 @@ class Trainer:
         st_sh = self._stage2_state_shardings(state)
         if st_sh is not None:
             state = jax.device_put(state, st_sh)
+        # the caller passes a CONSTANT base key; the per-step key is
+        # fold_in(base, state.step) derived inside the compiled program
+        # (no per-iteration host-side split dispatch)
         if k > 1:
             step_fn = jax.jit(
-                lambda s, v, xs, cs, r: trainer.train_steps(s, v, xs, cs, r),
+                lambda s, v, xs, cs, base: trainer.train_steps(
+                    s, v, xs, cs, jax.random.fold_in(base, s.step)),
                 in_shardings=(st_sh, None, x_sh, x_sh, None),
                 out_shardings=(st_sh, None) if st_sh else None,
                 donate_argnums=(0,))
         else:
-            step_fn = jax.jit(trainer.train_step,
-                              in_shardings=(st_sh, None, x_sh, x_sh, None),
-                              out_shardings=(st_sh, None) if st_sh else None,
-                              donate_argnums=(0,))
+            step_fn = jax.jit(
+                lambda s, v, x, c, base: trainer.train_step(
+                    s, v, x, c, jax.random.fold_in(base, s.step)),
+                in_shardings=(st_sh, None, x_sh, x_sh, None),
+                out_shardings=(st_sh, None) if st_sh else None,
+                donate_argnums=(0,))
         eval_fn = jax.jit(trainer.eval_step, in_shardings=(None, None, b_sh, b_sh))
 
         if eval_only:
@@ -590,9 +694,21 @@ class Trainer:
             print("eval: " + " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items()))
             return state
 
-        rng = jax.random.PRNGKey(self.seed + 1)
+        # the per-step dropout key derives INSIDE the jitted step from a
+        # constant base key + state.step (fold_in) — zero per-iteration host
+        # dispatches, and resume-deterministic (the key depends only on the
+        # global step, not on how many times the host process restarted)
+        rng_base = jax.random.PRNGKey(self.seed + 1)
+        # host-side global-step mirror: the r04 loop called int(state.step)
+        # every iteration (profiling/log cadence), a full device sync per
+        # dispatch group that serialized host and device — the single
+        # largest contributor to the committed campaign sustaining 46-52
+        # img/s where the bare bench measured 76.9 on identical geometry
+        gs = int(state.step)
         start_epoch = int(state.epoch)
         enc_fn = trainer.make_encode_fn(variables) if use_cached else None
+        buckets = {}
+        t_fit = time.perf_counter()
         with PreemptionGuard() as guard:
             for epoch in range(start_epoch, self.max_epochs):
                 vis = None
@@ -603,12 +719,17 @@ class Trainer:
                         model, enc_fn, train_loader, epoch, b_sh
                     )
                     enc_secs = time.time() - t_enc
+                    buckets["encode"] = buckets.get("encode", 0.0) + enc_secs
 
                     def gen():
+                        # numpy int32 streams: the whole dispatch group is
+                        # stacked on HOST and lands as ONE device_put per
+                        # stream (device_prefetch below) — not K per-batch
+                        # jnp.asarray transfers + an on-device stack
                         for z, cc in cached:
-                            xz = {kk: jnp.asarray(v, jnp.int32)
+                            xz = {kk: np.ascontiguousarray(v, dtype=np.int32)
                                   for kk, v in z.items()}
-                            yield (xz, xz if cc is None else jnp.asarray(cc))
+                            yield (xz, cc)
 
                     inputs = gen()
                 else:
@@ -622,35 +743,84 @@ class Trainer:
                         _xc(batch)
                         for batch in device_prefetch(train_loader.epoch(epoch), b_sh)
                     )
-                groups = self._group_steps(self._group_microbatches(inputs))
+                grouped = self._group_steps(
+                    self._group_microbatches(inputs), timings=buckets
+                )
+                groups = (
+                    device_prefetch(grouped, x_sh, timings=buckets)
+                    if use_cached else grouped
+                )
                 t0 = time.time()
-                for bi, (x, c) in enumerate(groups):
+                pending = None  # lag-one metric flush (see _flush)
+
+                def _flush(p):
+                    # materializing log floats blocks on the device; by
+                    # flushing one tick LATE (the next group already queued)
+                    # the sync overlaps useful device work instead of
+                    # draining the pipeline
+                    t_s = time.perf_counter()
+                    gs_p, logs_p, ips, extra = p
+                    if k > 1:  # per-step stacked logs -> last step's
+                        logs_p = jax.tree_util.tree_map(
+                            lambda a: a[-1], logs_p)
+                    logs_np = {k_: float(v) for k_, v in logs_p.items()}
+                    logs_np["lr"] = float(trainer.schedule(gs_p))
+                    logs_np["images_per_sec"] = ips
+                    logs_np.update(extra)
+                    self.metrics.log(gs_p, logs_np, "train")
+                    buckets["log_sync"] = (
+                        buckets.get("log_sync", 0.0)
+                        + time.perf_counter() - t_s
+                    )
+
+                it = iter(groups)
+                bi = -1
+                while True:
+                    t_p = time.perf_counter()
+                    try:
+                        x, c = next(it)
+                    except StopIteration:
+                        break
+                    buckets["pull"] = (
+                        buckets.get("pull", 0.0) + time.perf_counter() - t_p
+                    )
+                    bi += 1
                     # optimizer-step units (see stage-1 loop note)
                     if (self.max_steps_per_epoch
                             and bi * k >= self.max_steps_per_epoch):
                         break
-                    rng, sub = jax.random.split(rng)
-                    self._maybe_profile(int(state.step))
-                    state, logs = step_fn(state, variables, x, c, sub)
-                    if k > 1:  # per-step stacked logs -> last step's
-                        logs = jax.tree_util.tree_map(lambda a: a[-1], logs)
+                    self._maybe_profile(gs)
+                    t_d = time.perf_counter()
+                    state, logs = step_fn(
+                        state, variables, x, x if c is None else c, rng_base
+                    )
+                    buckets["dispatch"] = (
+                        buckets.get("dispatch", 0.0)
+                        + time.perf_counter() - t_d
+                    )
+                    gs += k
+                    if pending is not None:
+                        _flush(pending)
+                        pending = None
                     if guard.should_stop:
                         self._emergency_save(mngr, state, guard.reason)
                         return state
                     if (bi * k) % self.log_every < k:
-                        logs_np = {k_: float(v) for k_, v in logs.items()}
-                        logs_np["lr"] = float(trainer.schedule(int(state.step)))
                         leaf = jax.tree_util.tree_leaves(x)[0]
                         bsz = leaf.shape[
                             (1 if k > 1 else 0) + (1 if self.accum > 1 else 0)
                         ]
-                        logs_np["images_per_sec"] = (
-                            k * self.accum * bsz * (bi + 1) / (time.time() - t0)
+                        ips = (
+                            k * self.accum * bsz * (bi + 1)
+                            / max(time.time() - t0, 1e-9)
                         )
-                        if enc_secs and bi == 0:
-                            logs_np["cache_encode_seconds"] = enc_secs
-                        self.metrics.log(int(state.step), logs_np, "train")
+                        extra = (
+                            {"cache_encode_seconds": enc_secs}
+                            if enc_secs and bi == 0 else {}
+                        )
+                        pending = (gs, logs, ips, extra)
                     if self.images.should_log(bi * k, k):
+                        t_i = time.perf_counter()
                         if use_cached:
                             x_img, c_img = vis
                             c_img = x_img if c_img is None else c_img
@@ -663,32 +833,76 @@ class Trainer:
                             c_img = cl if self.accum == 1 else cl[0]
                         self._log_stage2_images(
                             model, variables, state, x_img, c_img,
-                            "train", int(state.step), epoch, bi,
+                            "train", gs, epoch, bi,
                         )
+                        buckets["image_log"] = (
+                            buckets.get("image_log", 0.0)
+                            + time.perf_counter() - t_i
+                        )
+                if pending is not None:
+                    _flush(pending)
                 state = state._replace(epoch=state.epoch + 1)
 
+                t_v = time.perf_counter()
                 val_metrics = self._validate_stage2(model, data, eval_fn, state, variables)
-                self.metrics.log(int(state.step), val_metrics, "val")
+                self.metrics.log(gs, val_metrics, "val")
                 import orbax.checkpoint as ocp
 
-                mngr.save(int(state.step), args=ocp.args.StandardSave(state),
+                mngr.save(gs, args=ocp.args.StandardSave(state),
                           metrics={k: float(v) for k, v in val_metrics.items()})
                 mngr.wait_until_finished()
+                buckets["val_ckpt"] = (
+                    buckets.get("val_ckpt", 0.0) + time.perf_counter() - t_v
+                )
                 print(
                     f"epoch {epoch}: " +
                     " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items())
                 )
+        self._write_buckets(buckets, time.perf_counter() - t_fit, gs)
         return state
+
+    def _write_buckets(self, buckets, wall, gs):
+        """Per-bucket host-loop attribution -> <logdir>/loop_buckets.json.
+
+        "device_wait" is wall time not attributed to any measured host
+        bucket — in a healthy loop it is where the host sits blocked (or
+        idle-ahead) while the device executes; host buckets (pull/assemble/
+        transfer/dispatch) staying small relative to it is the signature of
+        a device-bound loop."""
+        import json as _json
+
+        accounted = sum(
+            v for k_, v in buckets.items()
+            if k_ not in ("assemble", "transfer")  # sub-buckets of "pull"
+        )
+        out = {
+            "wall_seconds": round(wall, 3),
+            "global_step": gs,
+            "buckets": {k_: round(v, 3) for k_, v in sorted(buckets.items())},
+            "device_wait_seconds": round(max(wall - accounted, 0.0), 3),
+        }
+        with open(os.path.join(self.logdir, "loop_buckets.json"), "w") as f:
+            _json.dump(out, f, indent=1)
 
     def _encode_epoch_codes(self, model, enc_fn, train_loader, epoch, b_sh):
         """Cached-codes bulk pre-encode: one frozen-encoder pass over this
         epoch's (augmented) batch stream at encoder throughput (~16x the
         stage-2 train rate), yielding per-batch permuter-stream dicts.
 
-        Streams are held as int16 numpy (max code 1026): ~5 KB/image, so a
-        full ImageNet epoch is ~6 GB host RAM. Returns (list of
+        Streams are held as int16 numpy when every token id fits (max code
+        1026 at the shipped geometry): ~5 KB/image, so a full ImageNet epoch
+        is ~6 GB host RAM; vocabularies >= 2^15 fall back to int32 instead
+        of silently wrapping (ADVICE r04). Returns (list of
         (stream dict, labels|None), (vis images, vis labels)) — the vis batch
         feeds the image logger, which needs pixels, not tokens."""
+        max_id = max(
+            model.vocab_size, model.fine_position_size,
+            model.coarse_position_pad_code, model.coarse_position_eos_code,
+            model.content_pad_code, model.content_eos_code,
+            model.content_sos_code or 0,
+            model.fine_position_sos_code or 0,
+        )
+        cache_dtype = np.int16 if max_id < 2 ** 15 else np.int32
         cached = []
         vis = None
         limit = self.max_steps_per_epoch  # optimizer steps == batches here
@@ -706,13 +920,13 @@ class Trainer:
                 vis = (np.asarray(x[:4]), None if c is None else c[:4])
             if pending is not None:
                 zp, cp = pending
-                zp = {k2: np.asarray(v).astype(np.int16)
+                zp = {k2: np.asarray(v).astype(cache_dtype)
                       for k2, v in jax.device_get(zp).items()}
                 cached.append((zp, cp))
             pending = (z_dev, c)
         if pending is not None:
             zp, cp = pending
-            zp = {k2: np.asarray(v).astype(np.int16)
+            zp = {k2: np.asarray(v).astype(cache_dtype)
                   for k2, v in jax.device_get(zp).items()}
             cached.append((zp, cp))
         return cached, vis

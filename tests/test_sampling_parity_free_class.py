@@ -19,6 +19,10 @@ tokens prefix all four streams (ClassAwareSOSProvider), the fixed-fine
 schedule is class-prefixed (`transfer_*`: `c_position = coarse_position[:, :1]`),
 and the masks ban the class ranges (content: everything >= eos; fine
 position: everything > eos).
+
+The user-facing statement of this contract (what IS bit-exact vs a
+reference checkpoint and what deliberately isn't) lives in README.md,
+"Sampler parity caveat (free-fine mode)".
 """
 import importlib
 

@@ -48,7 +48,7 @@ def get_parser():
                         "(lax.scan; amortizes host overhead — measured "
                         "28.9->37.6 img/s at K=4 on stage 2). Logging/image "
                         "cadence ticks once per K steps. Default: auto "
-                        "(4 on the stage-2 cached-codes path, else 1)")
+                        "(8 on the stage-2 cached-codes path, else 1)")
     p.add_argument("--cached_codes", choices=("auto", "on", "off"),
                    default="auto",
                    help="stage-2 cached-codes training: bulk pre-encode each "
