@@ -58,8 +58,12 @@ UNCOND_CFG = {
 }
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture(scope="session")
 def dualformer():
+    # session scope (suite-trim r05): test_trainer_parallel_axes imports
+    # this fixture; module scope re-initialized the model per module. The
+    # sp/pp tests that set model.transformer_train_apply restore it to
+    # None in finally, so sharing across modules is safe.
     fs_cfg = dual_config(resolution=64, entropy_router=True)
     fs_cfg["vqconfig"]["params"]["codebook_size"] = CODEBOOK
     first_stage_config = {

@@ -78,9 +78,13 @@ def _install_stubs():
         sys.modules["torchvision.models"] = tv.models
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture(scope="session")
 def ref():
-    """Importable reference repo namespace."""
+    """Importable reference repo namespace.
+
+    Session scope (suite-trim r05): the sampling-parity modules import this
+    fixture; module scope re-ran the stub install + reference import once
+    per importing module."""
     _install_stubs()
     if str(REF_ROOT) not in sys.path:
         sys.path.insert(0, str(REF_ROOT))

@@ -61,8 +61,12 @@ def _stage2_params():
     return transformer, uncond, permuter
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture(scope="session")
 def models(ref):  # noqa: F811
+    # session scope (suite-trim r05): test_sampling_parity_free_class
+    # imports this fixture; module scope rebuilt the reference torch
+    # Dualformer + ckpt conversion + our sampler programs once PER MODULE
+    # — the compiled while_loop samplers are the slow tier's hot spot
     tp, up, pp = _stage2_params()
     ref_mod = importlib.import_module(
         "models.stage2_dynamic.dqtransformer_uncond_entropy"
