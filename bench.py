@@ -34,10 +34,12 @@ def main():
     from __graft_entry__ import _dual_config
     from dynamicvectorquantization_tpu.models.dqvae import DualGrainVQModel
 
-    # batch 64 over 32: +3.2% measured (994.98 -> 1026.73 img/s r04) — better
-    # MXU tiling and amortized non-conv residue; the path is MXU-bound at
-    # ~76% of v5e bf16 peak (150.4 GFLOP/img by cost_analysis)
-    batch = int(os.environ.get("DQVQ_BENCH_BATCH", "64"))
+    # batch 64 over 32: +3.2% measured (994.98 -> 1026.73 img/s r04); 128
+    # over 64: +0.9% (1040.4 -> 1049.5 r05) — better MXU tiling and
+    # amortized non-conv residue; the path is MXU-bound at ~79% of v5e bf16
+    # peak (150.4 GFLOP/img by cost_analysis), with the residue dominated by
+    # XLA's strided-downsample floor (QUIRKS #29)
+    batch = int(os.environ.get("DQVQ_BENCH_BATCH", "128"))
     iters = int(os.environ.get("DQVQ_BENCH_ITERS", "10"))
 
     compute_dtype = os.environ.get("DQVQ_BENCH_DTYPE", "bfloat16")

@@ -64,8 +64,16 @@ class DQVAENet(nn.Module):
         self.encoder = instantiate_from_config(self._with_dtype(self.encoderconfig))
         self.decoder = instantiate_from_config(self._with_dtype(self.decoderconfig))
         self.quantize = instantiate_from_config(self.vqconfig)
-        self.quant_conv = nn.Conv(self.quant_after_dim, (1, 1), name="quant_conv")
-        self.post_quant_conv = nn.Conv(self.quant_before_dim, (1, 1), name="post_quant_conv")
+        # the 1x1 quant convs follow the compute dtype: with bf16 towers a
+        # dtype-less Conv promotes its input back to f32 (cast traffic +
+        # quarter-rate f32 MXU); the VQ kernel re-casts to f32 either way
+        qdtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        self.quant_conv = nn.Conv(
+            self.quant_after_dim, (1, 1), dtype=qdtype, name="quant_conv"
+        )
+        self.post_quant_conv = nn.Conv(
+            self.quant_before_dim, (1, 1), dtype=qdtype, name="post_quant_conv"
+        )
 
     def encode(self, x, train: bool = False):
         x_entropy = None

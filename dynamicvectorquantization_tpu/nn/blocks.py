@@ -81,19 +81,93 @@ class Upsample(nn.Module):
         return x
 
 
+class _StridedConv3x3(nn.Module):
+    """3x3 stride-2 conv with the reference's (0,1),(0,1) zero pad — param
+    tree identical to ``nn.Conv`` (kernel (3,3,C,K) + bias), but on TPU the
+    computation is rewritten space-to-depth.
+
+    Why it exists: XLA's native stride-2 conv at the encoder's 128-channel
+    levels runs at ~16% true MXU efficiency (r05 xplane: down_0_downsample
+    10.1 ms/step vs a 1.6 ms FLOP floor at batch 64). The exact rewrite —
+    pack 2x2 spatial blocks into channels, lift the 3x3/stride-2 kernel into
+    a dense 2x2/stride-1 kernel over 4C inputs (the MLPerf TPU ResNet conv-1
+    trick) — was the first attempt, but MEASURED SLOWER than the native
+    strided conv on this chip (16.25 vs 7.65 ms standalone at batch 64;
+    headline 880 vs 1040 img/s): the space-to-depth transpose is a full
+    HBM relayout that XLA cannot fuse away, and it dominates the dense-conv
+    win. Polyphase decomposition (17.0 ms) and W-only channel packing
+    (11.3 ms) lose the same way. Kept OPT-IN (``s2d=True``) as documentation
+    of the measured dead end; default is the native strided conv.
+
+      y[i,j] = sum_{u,v<3} w[u,v] x[2i+u, 2j+v]
+             = sum_{da,db<2} w2[da,db] z[i+da, j+db],
+      z[a,b,(p,q,c)] = x[2a+p, 2b+q, c],  w2[da,db,(p,q,c),k] = wpad[2da+p, 2db+q, c, k]
+
+    Accumulation order differs from the direct conv (same exact taps), so
+    f32 results agree to roundoff, not bitwise; ``s2d=False`` restores the
+    native strided conv (always used on non-TPU backends by default).
+    """
+
+    features: int
+    dtype: Any = None
+    s2d: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        use_s2d = bool(self.s2d)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        else:
+            x = x.astype(kernel.dtype)
+        if not use_s2d:
+            # strided_conv3x3_down: Pallas kernel on the TPU bf16 path
+            # (XLA's native strided conv is ~16% MXU-efficient there),
+            # native XLA conv otherwise; DQVQ_DS_KERNEL=0 forces native
+            from ..ops.downsample_pallas import strided_conv3x3_down
+
+            return strided_conv3x3_down(x, kernel, bias)
+        b, h, w, _ = x.shape
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
+        z = (
+            x.reshape(b, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h // 2, w // 2, 4 * c)
+        )
+        wpad = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))  # (4,4,C,K)
+        w2 = (
+            wpad.reshape(2, 2, 2, 2, c, self.features)  # (da,p,db,q,C,K)
+            .transpose(0, 2, 1, 3, 4, 5)  # (da,db,p,q,C,K)
+            .reshape(2, 2, 4 * c, self.features)
+        )
+        dn2 = jax.lax.conv_dimension_numbers(
+            z.shape, w2.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        y = jax.lax.conv_general_dilated(
+            z, w2, window_strides=(1, 1), padding=((0, 1), (0, 1)),
+            dimension_numbers=dn2,
+        )
+        return y + bias
+
+
 class Downsample(nn.Module):
     in_channels: int
     with_conv: bool = True
     dtype: Any = None
+    s2d: Optional[bool] = None  # None = auto (TPU only); see _StridedConv3x3
 
     @nn.compact
     def __call__(self, x):
         if self.with_conv:
             # reference pads (left=0, right=1, top=0, bottom=1) then VALID
-            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            x = nn.Conv(
-                self.in_channels, (3, 3), strides=(2, 2), padding="VALID",
-                dtype=self.dtype, name="conv"
+            x = _StridedConv3x3(
+                self.in_channels, dtype=self.dtype, s2d=self.s2d, name="conv"
             )(x)
         else:
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))

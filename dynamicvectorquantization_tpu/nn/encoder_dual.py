@@ -105,10 +105,18 @@ class GrainHead(nn.Module):
             in_channels=self.block_in, dropout=self.dropout, dtype=self.dtype,
             name="mid_block_2"
         )(h, deterministic=deterministic)
-        h = GroupNorm32(name="norm_out")(h)
+        h = GroupNorm32(dtype=self.dtype, name="norm_out")(h)
         h = nonlinearity(h)
-        # head output in f32: feeds the router and the VQ distance kernel
-        return nn.Conv(self.z_channels, (3, 3), padding="SAME", name="conv_out")(h)
+        # conv_out follows the compute dtype: on the bf16 path the f32
+        # variant cost ~1.8 GFLOP/img of quarter-rate f32 MXU work plus a
+        # bf16->f32 cast of the head activations (~1.7 ms/batch-64 measured
+        # r05). Downstream consumers are unaffected in kind: the VQ distance
+        # kernel casts to f32 + Precision.HIGHEST either way, and the bf16
+        # path is already a documented-deviation mode (QUIRKS #23). The f32
+        # default path (dtype=None) — and every torch-parity test — is
+        # unchanged.
+        return nn.Conv(self.z_channels, (3, 3), padding="SAME",
+                       dtype=self.dtype, name="conv_out")(h)
 
 
 class DualGrainEncoder(nn.Module):

@@ -73,6 +73,21 @@ def test_downsample_asymmetric_padding_matches_torch(np_rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
+def test_downsample_s2d_rewrite_exact(np_rng):
+    """The TPU space-to-depth rewrite of the stride-2 conv (same params,
+    dense 2x2 kernel over packed 2x2 blocks) matches the native strided conv
+    to f32 roundoff — including the asymmetric (0,1),(0,1) pad rows."""
+    x = np_rng.normal(size=(2, 32, 32, 16)).astype(np.float32)
+    m_native = Downsample(16, with_conv=True, s2d=False)
+    variables = m_native.init(jax.random.PRNGKey(3), jnp.asarray(x))
+    m_s2d = Downsample(16, with_conv=True, s2d=True)
+    want = m_native.apply(variables, jnp.asarray(x))
+    got = m_s2d.apply(variables, jnp.asarray(x))
+    assert got.shape == want.shape == (2, 16, 16, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_upsample_nearest_matches_torch(np_rng):
     x = np_rng.normal(size=(1, 4, 4, 8)).astype(np.float32)
     tconv = torch.nn.Conv2d(8, 8, 3, padding=1)
