@@ -92,10 +92,26 @@ def analyze(logdir, fusion_roots=None, min_step_ms=1.0):
     smd = plane.stat_metadata
     cat_ids = {i for i, s in smd.items() if s.name == "hlo_category"}
 
+    def md_stats(m):
+        out = {}
+        for st in m.stats:
+            out[smd[st.metadata_id].name] = (
+                st.str_value or st.int64_value or st.uint64_value
+            )
+        return out
+
     by_op = collections.Counter()
     by_family = collections.Counter()
     n_family = collections.Counter()
     by_cat = collections.Counter()
+    # provenance attribution straight from the op metadata: tf_op carries
+    # the jit scope / flax module path, flops+bytes_accessed give achieved
+    # rates. This is the robust channel — fusion DISPLAY names can drift
+    # from the compiled HLO text under the remote (axon) compiler, which is
+    # why the fusion_roots HLO-text matching below sometimes reports
+    # "names not found" (r05 lesson; the tf_op table found the strided
+    # downsample conv at 16% MXU efficiency that the name matching missed).
+    by_tfop = collections.defaultdict(lambda: [0, 0, 0, 0])  # dur, flops, bytes, n
     for e in ops.events:
         m = md[e.metadata_id]
         name = m.display_name or m.name
@@ -109,6 +125,12 @@ def analyze(logdir, fusion_roots=None, min_step_ms=1.0):
                 cat = st.str_value
                 break
         by_cat[cat or "?"] += e.duration_ps
+        ms = md_stats(m)
+        row = by_tfop[ms.get("tf_op") or name]
+        row[0] += e.duration_ps
+        row[1] = ms.get("flops", 0) or 0  # per-execution
+        row[2] = ms.get("bytes_accessed", 0) or 0
+        row[3] += 1
     total = sum(by_op.values())
 
     print(f"{'ms/step':>8}  {'%':>5}  hlo_category")
@@ -124,6 +146,26 @@ def analyze(logdir, fusion_roots=None, min_step_ms=1.0):
     print(f"\n{'ms/step':>8}  {'%':>5}  top individual ops")
     for name, ps in by_op.most_common(15):
         print(f"{ps / 1e9 / nsteps:8.2f}  {100 * ps / total:5.1f}  {name[:90]}")
+
+    rows = []
+    for tfop, (dur, fl, by, n) in by_tfop.items():
+        if dur <= 0 or n == 0:
+            continue
+        ms = dur / 1e9 / nsteps
+        if ms < 0.05:
+            continue
+        per_exec_s = dur / n / 1e12  # flops/bytes are per-execution
+        rows.append((
+            ms,
+            fl / per_exec_s / 1e12 if fl else 0.0,   # achieved TFLOP/s
+            by / per_exec_s / 1e9 if by else 0.0,    # achieved GB/s
+            re.sub(r"^jit\([\w.]+\)/", "", tfop),
+        ))
+    rows.sort(reverse=True)
+    print(f"\n{'ms/step':>8} {'TFLOP/s':>8} {'GB/s':>7}  provenance (tf_op; "
+          "XLA-reported flops — strided convs are counted ~5x, see QUIRKS #29)")
+    for ms, tfs, gbs, name in rows[:30]:
+        print(f"{ms:8.2f} {tfs:8.0f} {gbs:7.0f}  {name[:95]}")
 
     if fusion_roots:
         by_root = collections.Counter()
