@@ -88,6 +88,30 @@ def test_downsample_s2d_rewrite_exact(np_rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_downsample_custom_vjp_matches_direct_grad(np_rng):
+    """strided_conv3x3_down routes its backward through jax.vjp of the
+    native conv; gradients must match differentiating the native conv
+    directly (the Pallas forward is inference/fwd-only acceleration)."""
+    from dynamicvectorquantization_tpu.ops.downsample_pallas import (
+        _native_strided_conv, strided_conv3x3_down)
+
+    x = jnp.asarray(np_rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+    w = jnp.asarray(np_rng.normal(size=(3, 3, 8, 8)).astype(np.float32)) * 0.1
+    b = jnp.asarray(np_rng.normal(size=(8,)).astype(np.float32)) * 0.1
+
+    def loss_wrapped(x, w, b):
+        return jnp.sum(strided_conv3x3_down(x, w, b) ** 2)
+
+    def loss_native(x, w, b):
+        return jnp.sum(_native_strided_conv(x, w, b) ** 2)
+
+    gw = jax.grad(loss_wrapped, argnums=(0, 1, 2))(x, w, b)
+    gn = jax.grad(loss_native, argnums=(0, 1, 2))(x, w, b)
+    for a, bb in zip(gw, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_upsample_nearest_matches_torch(np_rng):
     x = np_rng.normal(size=(1, 4, 4, 8)).astype(np.float32)
     tconv = torch.nn.Conv2d(8, 8, 3, padding=1)
