@@ -25,6 +25,58 @@ from .stage1 import Stage1Trainer
 from .stage2 import Stage2Trainer
 
 
+_CPU0 = None
+
+
+def _host_schedule(schedule, step) -> float:
+    """Evaluate an optax schedule on the LOCAL CPU device.
+
+    With the default device on the tunneled axon TPU, `float(schedule(gs))`
+    is a remote dispatch + a full HTTP round trip per logged row — measured
+    as part of the r05 campaign's 303 s log_sync bucket."""
+    global _CPU0
+    if _CPU0 is None:
+        try:
+            _CPU0 = jax.devices("cpu")[0]
+        except Exception:
+            _CPU0 = False
+    if _CPU0 is False:
+        return float(schedule(step))
+    with jax.default_device(_CPU0):
+        return float(schedule(step))
+
+
+class _LogPacker:
+    """Pull a whole metrics dict in ONE device->host transfer.
+
+    On the tunneled axon platform every scalar `float()` is a full HTTP
+    round trip; the r05 campaign measured log_sync = 303 s over 288
+    dispatch groups (~1.05 s/group for ~10 scalars pulled one by one).
+    `pack` stacks the scalars into a single f32 vector in a tiny jitted
+    program (dispatched asynchronously while the next group trains);
+    `unpack` materializes it with one transfer.
+    """
+
+    def __init__(self, last_of_stack: bool):
+        self.last = last_of_stack
+        self.keys = None
+        self.fn = None
+
+    def pack(self, logs):
+        if self.fn is None:
+            self.keys = sorted(logs)
+            take = (lambda a: a[-1]) if self.last else (lambda a: a)
+            self.fn = jax.jit(
+                lambda d: jnp.stack(
+                    [take(d[kk]).astype(jnp.float32) for kk in self.keys]
+                )
+            )
+        return self.fn(logs)
+
+    def unpack(self, vec) -> dict:
+        return dict(zip(self.keys, map(float, np.asarray(vec))))
+
+
 def _is_stage2(model) -> bool:
     return hasattr(model, "transformer") and hasattr(model, "first_stage_model")
 
@@ -445,17 +497,15 @@ class Trainer:
                     self._group_microbatches(inputs), timings=buckets
                 )
                 pending = None  # lag-one metric flush (see stage-2 loop)
+                packer = _LogPacker(last_of_stack=k > 1)
 
                 def _flush(p):
                     t_s = time.perf_counter()
-                    gs_p, logs_p, ips = p
-                    if k > 1:  # per-step stacked logs -> last step's
-                        logs_p = jax.tree_util.tree_map(
-                            lambda a: a[-1], logs_p)
-                    logs_np = {k_: float(v) for k_, v in logs_p.items()}
+                    gs_p, vec, ips = p
+                    logs_np = packer.unpack(vec)  # ONE device pull
                     logs_np["images_per_sec"] = ips
                     # reference LearningRateMonitor (train.py:207-213)
-                    logs_np["lr"] = float(trainer.ae_schedule(gs_p))
+                    logs_np["lr"] = _host_schedule(trainer.ae_schedule, gs_p)
                     self.metrics.log(gs_p, logs_np, "train")
                     buckets["log_sync"] = (
                         buckets.get("log_sync", 0.0)
@@ -500,7 +550,7 @@ class Trainer:
                             k * self.accum * bsz * (bi + 1)
                             / max(time.time() - t0, 1e-9)
                         )
-                        pending = (gs, logs, ips)
+                        pending = (gs, packer.pack(logs), ips)
                     if self.images.should_log(bi * k, k):
                         t_i = time.perf_counter()
                         xl = x if k == 1 else x[-1]
@@ -520,12 +570,17 @@ class Trainer:
                 self.metrics.log(gs, val_metrics, "val")
                 import orbax.checkpoint as ocp
 
+                # orbax async checkpointing: save() returns once the state is
+                # snapshotted off the device; the directory write proceeds in
+                # the background and overlaps the next epoch's training (the
+                # manager serializes with any still-running prior save
+                # itself). The r05 campaign's val_ckpt bucket was 1326 s of
+                # a 2511 s run with the synchronous wait here.
                 mngr.save(
                     gs,
                     args=ocp.args.StandardSave(state),
                     metrics={k: float(v) for k, v in val_metrics.items()},
                 )
-                mngr.wait_until_finished()
                 buckets["val_ckpt"] = (
                     buckets.get("val_ckpt", 0.0) + time.perf_counter() - t_v
                 )
@@ -533,6 +588,11 @@ class Trainer:
                     f"epoch {epoch}: " +
                     " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items())
                 )
+            t_v = time.perf_counter()
+            mngr.wait_until_finished()
+            buckets["val_ckpt"] = (
+                buckets.get("val_ckpt", 0.0) + time.perf_counter() - t_v
+            )
         self._write_buckets(buckets, time.perf_counter() - t_fit, gs)
         return state
 
@@ -752,19 +812,20 @@ class Trainer:
                 )
                 t0 = time.time()
                 pending = None  # lag-one metric flush (see _flush)
+                packer = _LogPacker(last_of_stack=k > 1)
 
                 def _flush(p):
                     # materializing log floats blocks on the device; by
                     # flushing one tick LATE (the next group already queued)
                     # the sync overlaps useful device work instead of
-                    # draining the pipeline
+                    # draining the pipeline. The metrics arrive as ONE
+                    # packed vector pull (_LogPacker) — per-scalar float()
+                    # pulls cost ~1.05 s/group in tunnel round trips (r05
+                    # campaign, log_sync bucket 303 s / 288 groups).
                     t_s = time.perf_counter()
-                    gs_p, logs_p, ips, extra = p
-                    if k > 1:  # per-step stacked logs -> last step's
-                        logs_p = jax.tree_util.tree_map(
-                            lambda a: a[-1], logs_p)
-                    logs_np = {k_: float(v) for k_, v in logs_p.items()}
-                    logs_np["lr"] = float(trainer.schedule(gs_p))
+                    gs_p, vec, ips, extra = p
+                    logs_np = packer.unpack(vec)  # ONE device pull
+                    logs_np["lr"] = _host_schedule(trainer.schedule, gs_p)
                     logs_np["images_per_sec"] = ips
                     logs_np.update(extra)
                     self.metrics.log(gs_p, logs_np, "train")
@@ -818,7 +879,7 @@ class Trainer:
                             {"cache_encode_seconds": enc_secs}
                             if enc_secs and bi == 0 else {}
                         )
-                        pending = (gs, logs, ips, extra)
+                        pending = (gs, packer.pack(logs), ips, extra)
                     if self.images.should_log(bi * k, k):
                         t_i = time.perf_counter()
                         if use_cached:
@@ -848,9 +909,11 @@ class Trainer:
                 self.metrics.log(gs, val_metrics, "val")
                 import orbax.checkpoint as ocp
 
+                # async checkpoint: the directory write overlaps the next
+                # epoch (see the stage-1 loop's note; r05 val_ckpt was
+                # 1326 s of a 2511 s campaign with the synchronous wait)
                 mngr.save(gs, args=ocp.args.StandardSave(state),
                           metrics={k: float(v) for k, v in val_metrics.items()})
-                mngr.wait_until_finished()
                 buckets["val_ckpt"] = (
                     buckets.get("val_ckpt", 0.0) + time.perf_counter() - t_v
                 )
@@ -858,6 +921,11 @@ class Trainer:
                     f"epoch {epoch}: " +
                     " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items())
                 )
+            t_v = time.perf_counter()
+            mngr.wait_until_finished()
+            buckets["val_ckpt"] = (
+                buckets.get("val_ckpt", 0.0) + time.perf_counter() - t_v
+            )
         self._write_buckets(buckets, time.perf_counter() - t_fit, gs)
         return state
 
